@@ -1,0 +1,176 @@
+"""Shared NN building blocks, NHWC / TPU-first.
+
+Numerics match the reference's torch layers exactly (so golden parity tests
+against /root/reference/src/models pass):
+
+- conv weight init N(0, 0.02), zero bias (reference src/models/generator.py:149-154)
+- InstanceNorm: per-(N,C) over HxW, biased variance, eps 1e-5, NO affine
+  (torch nn.InstanceNorm2d defaults), statistics always in fp32
+- LeakyReLU slope 0.2
+- bilinear 2x upsample with align_corners=True (reference
+  src/models/generator.py:13), implemented as two small matmuls so it runs on
+  the MXU instead of a gather
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# torch-compatible conv initialisation: N(0, 0.02) weights, zero bias
+conv_kernel_init = nn.initializers.normal(stddev=0.02)
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm2d without affine params; stats in fp32 regardless of dtype."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y.astype(orig_dtype)
+
+
+def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, x * slope)
+
+
+@functools.lru_cache(maxsize=64)
+def _align_corners_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Interpolation matrix A (out x in): y = A @ x, align_corners=True."""
+    a = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        a[:, 0] = 1.0
+        return a
+    scale = (in_size - 1) / (out_size - 1)
+    for i in range(out_size):
+        src = i * scale
+        lo = int(np.floor(src))
+        lo = min(lo, in_size - 2)
+        w = src - lo
+        a[i, lo] = 1.0 - w
+        a[i, lo + 1] = w
+    return a
+
+
+def upsample2x_bilinear_align_corners(x: jax.Array) -> jax.Array:
+    """NHWC 2x bilinear upsample, align_corners=True, as two MXU matmuls.
+
+    Matches torch nn.Upsample(scale_factor=2, mode='bilinear',
+    align_corners=True) — reference src/models/generator.py:13.
+    """
+    n, h, w, c = x.shape
+    ah = jnp.asarray(_align_corners_matrix(h, 2 * h), dtype=x.dtype)
+    aw = jnp.asarray(_align_corners_matrix(w, 2 * w), dtype=x.dtype)
+    precision = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
+    # (2H,H) @ (N,H,W,C) over H, then (2W,W) over W
+    y = jnp.einsum("oh,nhwc->nowc", ah, x, precision=precision)
+    y = jnp.einsum("pw,nowc->nopc", aw, y, precision=precision)
+    return y
+
+
+def torch_conv(
+    features: int,
+    kernel_size: int,
+    stride: int = 1,
+    padding: int = 0,
+    use_bias: bool = True,
+    dtype: Any = None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """Torch-compatible 2D conv (explicit zero padding, NHWC, N(0,0.02) init).
+
+    Precision policy: when running in fp32 (dtype None/float32) the MXU is
+    driven at HIGHEST precision so results match the torch reference to fp32
+    roundoff; under a bf16 compute policy the fast default is used.
+    """
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if dtype is None or dtype == jnp.float32
+        else None
+    )
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        use_bias=use_bias,
+        kernel_init=conv_kernel_init,
+        bias_init=nn.initializers.zeros_init(),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        precision=precision,
+        name=name,
+    )
+
+
+class ConvBlock(nn.Module):
+    """Conv -> (InstanceNorm) -> (activation).
+
+    Mirrors reference _make_conv_block (src/models/generator.py:156-182).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    norm: Optional[str] = "instance_norm"
+    act: Optional[str] = None  # "leaky_relu" | "relu" | None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = torch_conv(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            self.padding,
+            self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.norm == "instance_norm":
+            y = instance_norm(y)
+        elif self.norm == "batch_norm":
+            raise NotImplementedError(
+                "batch_norm inside ConvBlock is not used by any shipped config"
+            )
+        if self.act == "leaky_relu":
+            y = leaky_relu(y, 0.2)
+        elif self.act == "relu":
+            y = nn.relu(y)
+        return y
+
+
+class UpConvBlock(nn.Module):
+    """2x bilinear upsample (align_corners) -> Conv3x3 -> (norm) -> (act).
+
+    Mirrors reference _make_upconv_block (src/models/generator.py:184-208).
+    """
+
+    features: int
+    use_bias: bool = True
+    norm: Optional[str] = "instance_norm"
+    act: Optional[str] = "relu"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = upsample2x_bilinear_align_corners(x)
+        y = torch_conv(self.features, 3, 1, 1, self.use_bias, dtype=self.dtype,
+                       name="conv")(y)
+        if self.norm == "instance_norm":
+            y = instance_norm(y)
+        if self.act == "relu":
+            y = nn.relu(y)
+        elif self.act == "leaky_relu":
+            y = leaky_relu(y, 0.2)
+        return y
