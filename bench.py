@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark: stylized 512p frames/sec/chip (the north-star metric).
+
+Runs the real inference hot path — full-frame tiled stylization of a
+512x910 frame with the shipped default model (6-channel input, patch 80,
+30% overlap, full mask) in bf16 on whatever accelerator jax exposes — and
+prints ONE JSON line.
+
+``vs_baseline`` is measured against the north-star target of 30 frames/sec/
+chip (BASELINE.json: the reference publishes no numbers and cannot run in
+this image — pytorch_lightning is absent — so the driver's target is the
+comparison base; >1.0 beats it).
+
+Also measures training patches/sec as a secondary metric (printed to stderr).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_inference(frames: int = 30) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from patch_toon_tpu.infer.engine import make_frame_fn
+    from patch_toon_tpu.infer.tiling import (
+        bucket_size,
+        pack_boxes,
+        tile_boxes_from_mask,
+    )
+    from patch_toon_tpu.models import GeneratorJ
+
+    h, w, c = 512, 910, 6  # 512p, 16:9
+    ps = 80
+    gen = GeneratorJ(
+        input_channels=c, use_bias=True, tanh=True, append_smoothers=True,
+        resnet_blocks=7, filters=(32, 64, 128, 128, 128, 64),
+        dtype=jnp.bfloat16,
+    )
+    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, ps, ps, c)))
+
+    mask = np.ones((h, w), np.float32)
+    boxes = tile_boxes_from_mask(mask, ps, 30.0)
+    bucket = bucket_size(len(boxes))
+    pb, wts, _ = pack_boxes(boxes, ps, bucket)
+    fn = make_frame_fn(gen, ps, bucket, h, w, c, jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    frame_batch = [
+        jnp.asarray(rng.random((h, w, c), np.float32) * 2 - 1)
+        for _ in range(4)
+    ]
+    pb_j, wts_j = jnp.asarray(pb), jnp.asarray(wts)
+    mask_j = jnp.asarray(mask[..., None])
+
+    # warmup / compile
+    fn(g_vars, frame_batch[0], pb_j, wts_j, mask_j).block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(frames):
+        out = fn(g_vars, frame_batch[i % 4], pb_j, wts_j, mask_j)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    print(f"[bench] inference: {len(boxes)} tiles/frame, bucket {bucket}, "
+          f"{frames} frames in {dt:.3f}s", file=sys.stderr)
+    return frames / dt
+
+
+def bench_training(steps: int = 50) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from patch_toon_tpu.train import StyleTransferModel, make_train_step
+
+    batch_size, ps = 80, 80
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(
+            input_channels=6, use_bias=True, tanh=True,
+            append_smoothers=True, resnet_blocks=7,
+            filters=[32, 64, 128, 128, 128, 64])},
+        discriminator_config={"type": "DiscriminatorN_IN", "args": dict(
+            num_filters=12, n_layers=2, use_noise=False,
+            norm_layer="instance_norm", use_bias=True, input_channels=3)},
+        training_config=dict(
+            batch_size=batch_size, reconstruction_weight=4.0,
+            adversarial_weight=0.5, use_image_loss=True,
+            reconstruction_criterion="L1Loss",
+            adversarial_criterion="MSELoss",
+            use_gradient_clipping=True, gradient_clip_val=0.5,
+            precision="bf16"),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5),
+            discriminator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=ps, additional_channels={
+            "point_vector": {"path": "unused", "depth": 3}}),
+        perception_loss_config={
+            "weight": 6.0,
+            "perception_model": {"type": "PerceptualVGG19", "args": {
+                "feature_layers": [0, 3, 5], "use_normalization": False,
+                "path": None}}},
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=ps)
+    step = make_train_step(model)
+    rng = jax.random.PRNGKey(1)
+    batch = {
+        "pre": jax.random.uniform(rng, (batch_size, ps, ps, 3)) * 2 - 1,
+        "post": jax.random.uniform(rng, (batch_size, ps, ps, 3)) * 2 - 1,
+        "channels": jax.random.uniform(rng, (batch_size, ps, ps, 3)) * 2 - 1,
+    }
+    state, metrics = step(state, batch, rng)  # compile
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    return steps * batch_size / dt
+
+
+def main() -> None:
+    fps = bench_inference()
+    try:
+        pps = bench_training()
+        print(f"[bench] training: {pps:,.0f} patches/sec", file=sys.stderr)
+    except Exception as e:  # secondary metric must not break the bench line
+        print(f"[bench] training bench failed: {e}", file=sys.stderr)
+        pps = None
+    result = {
+        "metric": "stylized_512p_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }
+    if pps is not None:
+        result["training_patches_per_sec"] = round(pps, 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Whole-video tiled inference — same CLI surface as the reference
+``generator.py`` (reference generator.py:707-719).
+
+Usage:
+    python generator.py [key=value overrides ...]
+e.g.
+    python generator.py paths.checkpoint=outputs/.../checkpoints/last \
+        paths.input_dir=video/input paths.output_dir=video/stylized
+
+Accepts both this build's orbax checkpoint directories and reference
+torch ``.ckpt`` files (channel count sniffed from the checkpoint either way,
+reference generator.py:115-129).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+
+def main(argv=None) -> None:
+    from patch_toon_tpu.config import compose
+
+    argv = sys.argv[1:] if argv is None else argv
+    config_dir = Path(__file__).resolve().parent / "config"
+    cfg = compose(config_dir, "inference", overrides=argv)
+
+    import jax
+
+    if not bool(cfg.inference.get("use_gpu", True)):
+        jax.config.update("jax_platforms", "cpu")
+
+    from patch_toon_tpu.infer import StyleTransferInference
+
+    try:
+        inferencer = StyleTransferInference(cfg)
+        inferencer.process_directory()
+        print("Inference completed successfully!")
+    except Exception as e:
+        print(f"Error during inference: {e}")
+        raise
+
+
+if __name__ == "__main__":
+    main()

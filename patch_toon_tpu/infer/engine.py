@@ -1,0 +1,300 @@
+"""Whole-frame tiled inference engine.
+
+TPU-native rebuild of the reference ``StyleTransferInference``
+(generator.py:18-705). The reference loops tiles one-by-one through the
+generator in Python (generator.py:500-515 — the performance cliff); here a
+frame is one compiled program: gather ALL tiles with a vmapped dynamic_slice,
+run the generator over the whole tile batch on the MXU (bf16 by default,
+fp32 accumulation), scatter-accumulate with the Gaussian windows via
+lax.scan, normalize, composite with the eroded mask, and convert to uint8 —
+all inside one jit per (frame-size, tile-bucket) signature.
+
+Semantics preserved from the reference:
+- checkpoint channel sniff (generator.py:115-129) — works for both this
+  build's orbax checkpoints and reference torch ``.ckpt`` files;
+- mask threshold 0.4 + 7x7 full-support erosion (generator.py:327-351);
+- tile grid from the eroded mask's nonzero list (generator.py:353-398);
+- center-padding of clipped edge tiles (generator.py:467-498) and the
+  top-left-anchored scatter of the generator output (generator.py:541-547);
+- Gaussian window on the clipped box, bilinearly resized to the patch size
+  (generator.py:527-539);
+- weight-normalized blend + mask composite (generator.py:557-563);
+- uint8 conversion (generator.py:643-652), per-file error resilience
+  (generator.py:700-705), debug patch-rectangle overlay (generator.py:301-325).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from patch_toon_tpu.data.io import (
+    find_corresponding_image,
+    load_image_channels,
+    load_image_rgb,
+    load_mask,
+    save_image_uint8,
+)
+from patch_toon_tpu.infer.tiling import (
+    Box,
+    bucket_size,
+    pack_boxes,
+    tile_boxes_from_mask,
+)
+from patch_toon_tpu.ops.masks import erode_full_support
+from patch_toon_tpu.train.checkpoints import CheckpointManager, sniff_input_channels
+from patch_toon_tpu.train.model import StyleTransferModel, _resolve_dtype
+
+
+def make_frame_fn(generator, patch_size: int, bucket: int,
+                  h: int, w: int, c: int, dtype) -> Any:
+    """Build the jitted one-frame program for a fixed signature."""
+    ps = patch_size
+
+    def frame_fn(g_vars, frame, boxes, weights, mask):
+        # frame (H,W,C) fp32 [-1,1]; boxes (B,4) i32; weights (B,ps,ps) f32;
+        # mask (H,W,1) f32 {0,1}
+        fpad = jnp.pad(frame, ((ps, ps), (ps, ps), (0, 0)))
+
+        def gather(box):
+            y0, y1, x0, x1 = box[0], box[1], box[2], box[3]
+            ph, pw = y1 - y0, x1 - x0
+            hoff, woff = (ps - ph) // 2, (ps - pw) // 2
+            tile = jax.lax.dynamic_slice(
+                fpad, (ps + y0 - hoff, ps + x0 - woff, 0), (ps, ps, c))
+            r = jnp.arange(ps)
+            rv = (r >= hoff) & (r < hoff + ph)
+            cv = (r >= woff) & (r < woff + pw)
+            return tile * rv[:, None, None] * cv[None, :, None]
+
+        tiles = jax.vmap(gather)(boxes)
+        gen = generator.apply(
+            g_vars, tiles.astype(dtype), train=False
+        ).astype(jnp.float32)
+
+        canvas = jnp.zeros((h + ps, w + ps, 3), jnp.float32)
+        wcanvas = jnp.zeros((h + ps, w + ps, 1), jnp.float32)
+
+        def body(carry, inp):
+            cv_, wv_ = carry
+            tile, weight, box = inp
+            y0, x0 = box[0], box[2]
+            contrib = tile * weight[..., None]
+            cur = jax.lax.dynamic_slice(cv_, (y0, x0, 0), (ps, ps, 3))
+            cv_ = jax.lax.dynamic_update_slice(cv_, cur + contrib, (y0, x0, 0))
+            curw = jax.lax.dynamic_slice(wv_, (y0, x0, 0), (ps, ps, 1))
+            wv_ = jax.lax.dynamic_update_slice(
+                wv_, curw + weight[..., None], (y0, x0, 0))
+            return (cv_, wv_), None
+
+        (canvas, wcanvas), _ = jax.lax.scan(
+            body, (canvas, wcanvas), (gen, weights, boxes))
+
+        out = canvas[:h, :w]
+        wsum = wcanvas[:h, :w]
+        out = out / jnp.where(wsum > 1e-8, wsum, 1.0)
+        rgb = frame[:, :, :3]
+        out = rgb * (1.0 - mask) + out * mask          # generator.py:562-563
+        out = jnp.clip(out, -1.0, 1.0)
+        return jnp.round(
+            jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)
+        ).astype(jnp.uint8)
+
+    return jax.jit(frame_fn)
+
+
+class StyleTransferInference:
+    def __init__(self, cfg: Any):
+        self.cfg = cfg
+        inf = cfg.get("inference", {})
+        self.debug_mode = bool(inf.get("debug_mode", False))
+        self.overlap_percent = float(inf.get("overlap_percent", 30.0))
+        self.max_tile_batch = int(inf.get("tile_batch", 512))
+        self.dtype = _resolve_dtype(inf.get("precision", "bf16")) or jnp.float32
+        self.patch_size = int(cfg.data.patch_size)
+        self.patch_positions: List[Box] = []
+        self.logger = logging.getLogger("patch_toon_tpu.infer")
+        logging.basicConfig(
+            level=logging.DEBUG if self.debug_mode else logging.INFO,
+            format="%(asctime)s - %(levelname)s - %(message)s")
+        self._load_data_config()
+        self._setup_model()
+        self._frame_fns: Dict[Tuple[int, int, int, int], Any] = {}
+
+    # ------------------------------------------------------------------
+
+    def _load_data_config(self) -> None:
+        """Resolve guide channels from cfg.paths.additional_channels
+        (reference generator.py:196-271, incl. band-count validation)."""
+        from PIL import Image
+
+        self.additional_channels: Dict[str, Dict[str, Any]] = {}
+        paths_cfg = self.cfg.get("paths", {})
+        for name, ccfg in (paths_cfg.get("additional_channels") or {}).items():
+            if isinstance(ccfg, dict):
+                path, depth = str(ccfg["path"]), int(ccfg.get("depth", 1))
+            else:
+                path, depth = str(ccfg), 1
+            cdir = Path(path)
+            if not cdir.exists():
+                raise FileNotFoundError(f"Channel directory not found: {cdir}")
+            samples = list(cdir.glob("*.[pj][np][g]"))
+            if not samples:
+                raise FileNotFoundError(f"No images found in {path}")
+            actual = len(Image.open(samples[0]).getbands())
+            if actual < depth:
+                raise ValueError(
+                    f"Channel {name} has insufficient channels: "
+                    f"expected {depth}, but found {actual}")
+            self.additional_channels[name] = {"path": path, "depth": depth}
+        self.total_channels = 3 + sum(
+            c["depth"] for c in self.additional_channels.values())
+
+    def _setup_model(self) -> None:
+        ckpt_path = str(self.cfg.paths.checkpoint)
+        ckpt_channels = sniff_input_channels(ckpt_path)
+        if ckpt_channels != self.total_channels:
+            raise ValueError(
+                f"Channel count mismatch! Checkpoint model expects "
+                f"{ckpt_channels} channels, but current configuration has "
+                f"{self.total_channels} channels.")  # generator.py:120-129
+
+        from patch_toon_tpu.config import ConfigNode, to_container
+
+        gen_cfg = to_container(self.cfg.model.generator)
+        gen_cfg.setdefault("args", {})
+        gen_cfg["args"]["input_channels"] = int(ckpt_channels)
+        gen_cfg["args"]["additional_channels"] = None
+
+        training_cfg = dict(to_container(self.cfg.training))
+        training_cfg["precision"] = self.cfg.get("inference", {}).get(
+            "precision", training_cfg.get("precision", 32))
+        self.model = StyleTransferModel(
+            generator_config=gen_cfg,
+            discriminator_config=None,
+            training_config=training_cfg,
+            optimizer_config=to_container(self.cfg.optimizer),
+            data_config=to_container(self.cfg.data),
+            perception_loss_config=None,
+        )
+        if Path(ckpt_path).is_dir():
+            from patch_toon_tpu.train.checkpoints import restore_generator
+
+            g_params, g_batch_stats = restore_generator(ckpt_path)
+        else:
+            state = self.model.init_state(jax.random.PRNGKey(0),
+                                          patch_size=self.patch_size)
+            state = self.model.load_torch_checkpoint(state, ckpt_path)
+            g_params, g_batch_stats = state.g_params, state.g_batch_stats
+        self.g_vars = {"params": g_params, "batch_stats": g_batch_stats}
+        self.logger.info(
+            f"Model ready: {ckpt_channels} input channels from {ckpt_path}")
+
+    # ------------------------------------------------------------------
+
+    def _frame_fn(self, h: int, w: int, c: int, bucket: int) -> Any:
+        key = (h, w, c, bucket)
+        if key not in self._frame_fns:
+            self._frame_fns[key] = make_frame_fn(
+                self.model.generator, self.patch_size, bucket, h, w, c,
+                self.dtype)
+        return self._frame_fns[key]
+
+    def process_large_image(
+        self,
+        frame: np.ndarray,                 # (H,W,C) fp32 [-1,1]
+        mask: Optional[np.ndarray] = None,  # (H,W) eroded {0,1}, or None
+        overlap_percent: Optional[float] = None,
+    ) -> np.ndarray:
+        """Stylize one frame; returns (H,W,3) uint8."""
+        h, w, c = frame.shape
+        if mask is None:
+            mask = np.ones((h, w), np.float32)
+        boxes = tile_boxes_from_mask(
+            mask, self.patch_size,
+            self.overlap_percent if overlap_percent is None else overlap_percent)
+        self.patch_positions = boxes
+        bucket = bucket_size(max(1, len(boxes)))
+        packed_boxes, weights, _ = pack_boxes(boxes, self.patch_size, bucket)
+        fn = self._frame_fn(h, w, c, bucket)
+        out = fn(self.g_vars, jnp.asarray(frame),
+                 jnp.asarray(packed_boxes), jnp.asarray(weights),
+                 jnp.asarray(mask[..., None]))
+        return np.asarray(out)
+
+    def _load_frame(self, input_path: str) -> np.ndarray:
+        parts = [load_image_rgb(input_path)]
+        for name, ccfg in self.additional_channels.items():
+            cpath = find_corresponding_image(ccfg["path"], input_path)
+            if not os.path.exists(cpath):
+                raise FileNotFoundError(
+                    f"Required channel {name} not found: {cpath}")
+            parts.append(load_image_channels(cpath, ccfg["depth"]))
+        return np.concatenate(parts, axis=-1)
+
+    def _load_eroded_mask(self, mask_path: str, shape_hw) -> Optional[np.ndarray]:
+        mask_dir = os.path.dirname(mask_path)
+        resolved = find_corresponding_image(mask_dir,
+                                            os.path.basename(mask_path))
+        if not os.path.exists(resolved):
+            if mask_dir.endswith("ignore"):
+                return None  # full-frame stylization
+            raise FileNotFoundError(f"Mask file not found: {resolved}")
+        mask = load_mask(resolved)  # >128 binarize, [0,1]
+        return np.asarray(erode_full_support(jnp.asarray(mask)))
+
+    def process_image(self, input_path: str, mask_path: str,
+                      save_path: str) -> None:
+        frame = self._load_frame(input_path)
+        mask = self._load_eroded_mask(mask_path, frame.shape[:2])
+        out = self.process_large_image(frame, mask)
+        save_image_uint8(out, save_path)
+        if self.debug_mode:
+            self._save_debug_overlay(out, save_path)
+        self.logger.info(f"Saved {save_path}")
+
+    def _save_debug_overlay(self, out: np.ndarray, save_path: str) -> None:
+        """Random-color tile rectangles (reference generator.py:301-325)."""
+        from PIL import Image, ImageDraw
+
+        img = Image.fromarray(out.copy())
+        draw = ImageDraw.Draw(img)
+        rng = np.random.default_rng(0)
+        for y0, y1, x0, x1 in self.patch_positions:
+            color = tuple(int(v) for v in rng.integers(100, 256, 3))
+            draw.rectangle([x0, y0, x1, y1], outline=color, width=2)
+        debug_path = str(Path(save_path).with_name(
+            f"debug_{Path(save_path).name}"))
+        img.save(debug_path)
+
+    def process_directory(self) -> None:
+        """Stylize every frame in paths.input_dir (generator.py:674-705)."""
+        from tqdm import tqdm
+
+        input_dir = Path(self.cfg.paths.input_dir)
+        mask_dir = Path(self.cfg.paths.mask_dir)
+        output_dir = Path(self.cfg.paths.output_dir)
+        if not input_dir.exists():
+            raise FileNotFoundError(f"Input directory not found: {input_dir}")
+        if not mask_dir.name.endswith("ignore") and not mask_dir.exists():
+            raise FileNotFoundError(f"Mask directory not found: {mask_dir}")
+        output_dir.mkdir(parents=True, exist_ok=True)
+
+        files = sorted(input_dir.glob("*.[pj][np][g]"))
+        self.logger.info(f"Found {len(files)} images to process")
+        for input_path in tqdm(files, desc="Processing images"):
+            try:
+                self.process_image(
+                    str(input_path),
+                    str(mask_dir / input_path.name),
+                    str(output_dir / input_path.name),
+                )
+            except Exception as e:
+                self.logger.error(f"Failed to process {input_path.name}: {e}")
+                continue

@@ -1,0 +1,91 @@
+"""Tile-grid construction and Gaussian blending weights (host side).
+
+Replicates the reference's tile placement exactly
+(generator.py:353-398 ``_get_valid_patch_positions``): walk the row-major
+nonzero list of the eroded mask with step = stride over the *list index*,
+dedupe by the (y//stride, x//stride) cell, and emit boxes
+(max(0,y-s/2), min(H,y+s/2), max(0,x-s/2), min(W,x+s/2)).
+
+The per-tile Gaussian blending window replicates generator.py:527-539: a
+separable exp(-((i - n/2)^2 / (n/4)^2)) on the *box* size, bilinearly resized
+(half-pixel convention) to the full patch size when the box is clipped at a
+frame border (generator.py:532-539).
+
+These run on host numpy (microseconds per frame; data-dependent control flow
+that would force recompilation if traced); everything downstream is jitted.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+
+from patch_toon_tpu.ops.resize import resize_bilinear_np
+
+Box = Tuple[int, int, int, int]  # y_start, y_end, x_start, x_end
+
+
+def tile_boxes_from_mask(
+    eroded_mask: np.ndarray,
+    patch_size: int,
+    overlap_percent: float = 30.0,
+) -> List[Box]:
+    overlap = min(max(overlap_percent, 0.0), 100.0) / 100.0
+    stride = max(1, int(patch_size * (1.0 - overlap)))
+    half = patch_size // 2
+    h, w = eroded_mask.shape[-2:]
+
+    ys, xs = np.nonzero(np.asarray(eroded_mask).reshape(h, w))
+    boxes: List[Box] = []
+    used = set()
+    for idx in range(0, len(ys), stride):
+        y, x = int(ys[idx]), int(xs[idx])
+        key = (y // stride, x // stride)
+        if key in used:
+            continue
+        used.add(key)
+        boxes.append((max(0, y - half), min(h, y + half),
+                      max(0, x - half), min(w, x + half)))
+    return boxes
+
+
+@functools.lru_cache(maxsize=1024)
+def gaussian_tile_weight(box_h: int, box_w: int, patch_size: int) -> np.ndarray:
+    """(patch_size, patch_size) float32 blending window for a clipped box."""
+    wy = np.exp(-((np.arange(box_h, dtype=np.float32) - box_h / 2) ** 2
+                  / (box_h / 4) ** 2))
+    wx = np.exp(-((np.arange(box_w, dtype=np.float32) - box_w / 2) ** 2
+                  / (box_w / 4) ** 2))
+    weight = np.outer(wy, wx).astype(np.float32)
+    if weight.shape != (patch_size, patch_size):
+        weight = resize_bilinear_np(
+            weight, (patch_size, patch_size), align_corners=False
+        ).astype(np.float32)
+    return weight
+
+
+def bucket_size(n: int, minimum: int = 32) -> int:
+    """Round a tile count up to a power-of-two bucket (avoids recompiles)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def pack_boxes(
+    boxes: List[Box], patch_size: int, bucket: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """-> (boxes (bucket,4) int32, weights (bucket,ps,ps) f32, n_valid).
+
+    Padding entries carry zero weights so they contribute nothing to the
+    blended canvas.
+    """
+    n = len(boxes)
+    out_boxes = np.zeros((bucket, 4), dtype=np.int32)
+    out_weights = np.zeros((bucket, patch_size, patch_size), dtype=np.float32)
+    for i, (y0, y1, x0, x1) in enumerate(boxes):
+        out_boxes[i] = (y0, y1, x0, x1)
+        out_weights[i] = gaussian_tile_weight(y1 - y0, x1 - x0, patch_size)
+    return out_boxes, out_weights, n

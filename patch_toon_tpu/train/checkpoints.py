@@ -1,0 +1,138 @@
+"""Orbax checkpointing with the reference's retention policy and
+self-describing channel metadata.
+
+Mirrors the reference setup (train.py:22-31): keep the top-3 checkpoints by
+``g_total_loss`` plus an always-current ``last`` — and the reference's
+channel self-description trick (generator.py:115-129: inference reads the
+generator's input-channel width out of the checkpoint itself) via a JSON
+``meta`` sidecar carrying the resolved generator/discriminator args.
+
+Also loads reference-framework torch ``.ckpt`` files transparently (see
+StyleTransferModel.load_torch_checkpoint).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from patch_toon_tpu.train.state import GANTrainState
+
+
+def _state_tree(state: GANTrainState) -> Dict[str, Any]:
+    tree = {
+        "step": state.step,
+        "g_params": state.g_params,
+        "g_batch_stats": state.g_batch_stats,
+        "g_opt": state.g_opt,
+    }
+    if state.d_params is not None:
+        tree["d_params"] = state.d_params
+        tree["d_opt"] = state.d_opt
+    return tree
+
+
+class CheckpointManager:
+    """top-k-by-score + last retention over orbax StandardCheckpointer."""
+
+    def __init__(self, directory: str, keep_top_k: int = 3,
+                 meta: Optional[Dict[str, Any]] = None):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.keep_top_k = keep_top_k
+        self.meta = meta or {}
+        self._ckptr = ocp.StandardCheckpointer()
+        self._scores: Dict[str, float] = {}
+
+    def _write(self, name: str, state: GANTrainState,
+               extra_meta: Dict[str, Any]) -> Path:
+        path = self.directory / name
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(path, _state_tree(state))
+        self._ckptr.wait_until_finished()
+        with open(path / "meta.json", "w") as f:
+            json.dump({**self.meta, **extra_meta}, f, indent=2, default=str)
+        return path
+
+    def save(self, state: GANTrainState, epoch: int, score: float) -> None:
+        """Save 'last' plus an epoch checkpoint subject to top-k retention."""
+        extra = {"epoch": epoch, "g_total_loss": float(score)}
+        self._write("last", state, extra)
+        name = f"epoch_{epoch:04d}"
+        self._write(name, state, extra)
+        self._scores[name] = float(score)
+        if len(self._scores) > self.keep_top_k:
+            worst = max(self._scores, key=self._scores.get)
+            self._scores.pop(worst)
+            shutil.rmtree(self.directory / worst, ignore_errors=True)
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def read_meta(path: str) -> Dict[str, Any]:
+        meta_file = Path(path) / "meta.json"
+        if meta_file.exists():
+            with open(meta_file) as f:
+                return json.load(f)
+        return {}
+
+    @staticmethod
+    def restore(path: str, state: GANTrainState) -> GANTrainState:
+        """Restore into an existing (shape-compatible) state."""
+        ckptr = ocp.StandardCheckpointer()
+        target = _state_tree(state)
+        restored = ckptr.restore(Path(path).absolute(), target)
+        updates = {
+            "step": restored["step"],
+            "g_params": restored["g_params"],
+            "g_batch_stats": restored["g_batch_stats"],
+            "g_opt": restored["g_opt"],
+        }
+        if "d_params" in restored and state.d_params is not None:
+            updates["d_params"] = restored["d_params"]
+            updates["d_opt"] = restored["d_opt"]
+        return state.replace(**updates)
+
+
+def restore_generator(path: str) -> Tuple[Any, Any]:
+    """Raw-restore only the generator (params, batch_stats) from an orbax dir.
+
+    Used by inference, where the restore target has no discriminator/optimizer
+    state (the checkpoint may have been written by a full GAN training run).
+    """
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(Path(path).absolute())
+    return restored["g_params"], restored.get("g_batch_stats", {})
+
+
+def sniff_input_channels(ckpt_path: str) -> Optional[int]:
+    """Read the generator input-channel width from any supported checkpoint.
+
+    Equivalent of reference generator.py:118-119 (state_dict weight-shape
+    sniff), for orbax dirs (meta.json / kernel shape) and torch .ckpt files.
+    """
+    p = Path(ckpt_path)
+    if p.is_dir():
+        meta = CheckpointManager.read_meta(ckpt_path)
+        if "input_channels" in meta:
+            return int(meta["input_channels"])
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(p.absolute())
+        kernel = restored["g_params"]["initial_conv"]["conv"]["kernel"]
+        return int(np.asarray(kernel).shape[2])  # HWIO -> I
+    # torch .ckpt
+    import torch
+
+    from patch_toon_tpu.utils.torch_compat import (
+        generator_input_channels_from_torch,
+    )
+
+    ckpt = torch.load(str(p), map_location="cpu", weights_only=False)
+    return generator_input_channels_from_torch(ckpt["state_dict"])

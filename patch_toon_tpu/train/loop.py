@@ -1,0 +1,157 @@
+"""The training loop: epochs, logging, checkpoints, early stopping.
+
+TPU-native equivalent of the reference's ``pl.Trainer`` usage
+(train.py:89-105) plus its callbacks (train.py:15-49): per-epoch top-3 +
+last checkpointing on ``g_total_loss``, optional early stopping (patience in
+epochs), scalar logging every ``log_every_n_steps``, comparison-grid image
+logging every ``image_log_freq`` steps.
+
+Everything device-side is three jitted programs: the batch sampler, the GAN
+train step, and an eval-mode generator forward for image logging. With a
+multi-chip mesh, the batch is sharded over the ``data`` axis and the state is
+replicated; XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from patch_toon_tpu.data.dataset import StyleTransferDataset
+from patch_toon_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+)
+from patch_toon_tpu.train.checkpoints import CheckpointManager
+from patch_toon_tpu.train.logging import MetricsLogger, build_comparison_grid
+from patch_toon_tpu.train.model import StyleTransferModel
+from patch_toon_tpu.train.state import GANTrainState
+from patch_toon_tpu.train.step import make_train_step
+
+
+def fit(
+    model: StyleTransferModel,
+    dataset: StyleTransferDataset,
+    run_dir: str,
+    mesh: Optional[Any] = None,
+    seed: int = 0,
+    max_epochs: Optional[int] = None,
+    resume_from: Optional[str] = None,
+    progress: bool = True,
+) -> GANTrainState:
+    tc = model.training_config
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    batch_size = int(tc["batch_size"])
+    max_epochs = int(max_epochs if max_epochs is not None else tc.get("max_epochs", 50))
+    log_every = int(tc.get("log_every_n_steps", 10))
+    image_log_freq = int(tc.get("image_log_freq", 100))
+    early_stopping = bool(tc.get("early_stopping", False))
+    patience = int(tc.get("early_stopping_patience", 2))
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    state = model.init_state(init_rng, patch_size=dataset.patch_size)
+    if resume_from:
+        state = CheckpointManager.restore(resume_from, state)
+        print(f"Resumed from {resume_from} at step {int(state.step)}")
+
+    if mesh is not None:
+        state = replicate(state, mesh)
+        b_shard = batch_sharding(mesh)
+        struct = jax.eval_shape(
+            lambda r: dataset.sample_batch(r, batch_size),
+            jax.random.PRNGKey(0),
+        )
+        sample = jax.jit(
+            lambda r: dataset.sample_batch(r, batch_size),
+            out_shardings=jax.tree.map(lambda _: b_shard, struct),
+        )
+    else:
+        sample = jax.jit(lambda r: dataset.sample_batch(r, batch_size))
+
+    train_step = make_train_step(model)
+
+    ckpt = CheckpointManager(
+        run_dir / "checkpoints",
+        keep_top_k=3,
+        meta={
+            "input_channels": model.input_channels,
+            "generator_args": model.generator_args,
+            "discriminator_args": model.discriminator_args,
+            "patch_size": dataset.patch_size,
+        },
+    )
+    logger = MetricsLogger(str(run_dir / "tb"))
+    channel_depths = [d for _, _, d in dataset.channel_items]
+
+    steps_per_epoch = dataset.steps_per_epoch(batch_size)
+    best_score = float("inf")
+    epochs_without_improvement = 0
+    global_step = int(state.step)
+
+    print(f"Training: {max_epochs} epochs x {steps_per_epoch} steps, "
+          f"batch {batch_size}, {dataset.num_images} keyframes, "
+          f"{len(dataset)} patch centers")
+
+    for epoch in range(max_epochs):
+        epoch_losses = []
+        t0 = time.perf_counter()
+        for _ in range(steps_per_epoch):
+            rng, sk, tk = jax.random.split(rng, 3)
+            batch = sample(sk)
+            state, metrics = train_step(state, batch, tk)
+            global_step += 1
+
+            if global_step % log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                epoch_losses.append(host["g_total_loss"])
+                logger.log_scalars(host, global_step)
+            else:
+                epoch_losses.append(metrics["g_total_loss"])
+
+            if global_step % image_log_freq == 0:
+                x = dataset.model_input(batch)
+                generated = model.generator.apply(
+                    {"params": state.g_params,
+                     "batch_stats": state.g_batch_stats},
+                    x.astype(model.dtype or jnp.float32), train=False)
+                grid = build_comparison_grid(
+                    np.asarray(batch["pre"]), np.asarray(generated, np.float32),
+                    np.asarray(batch["post"]),
+                    np.asarray(batch["channels"]) if "channels" in batch else None,
+                    channel_depths,
+                )
+                logger.log_image("training/comparison_grid", grid, global_step)
+
+        mean_loss = float(jnp.mean(jnp.asarray(
+            [jnp.asarray(v) for v in epoch_losses])))
+        dt = time.perf_counter() - t0
+        pps = steps_per_epoch * batch_size / dt
+        if progress:
+            print(f"epoch {epoch}: g_total_loss={mean_loss:.4f} "
+                  f"({dt:.1f}s, {pps:,.0f} patches/s)")
+        logger.log_scalars({"epoch_g_total_loss": mean_loss,
+                            "patches_per_sec": pps}, global_step)
+
+        ckpt.save(state, epoch, mean_loss)
+
+        if mean_loss < best_score - 1e-12:
+            best_score = mean_loss
+            epochs_without_improvement = 0
+        else:
+            epochs_without_improvement += 1
+            if early_stopping and epochs_without_improvement >= patience:
+                print(f"Early stopping at epoch {epoch} "
+                      f"(no improvement for {patience} epochs)")
+                break
+
+    logger.close()
+    return state

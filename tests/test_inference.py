@@ -1,0 +1,203 @@
+"""Inference engine tests: tiling semantics, blending parity, end-to-end."""
+
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from patch_toon_tpu.infer.tiling import (
+    bucket_size,
+    gaussian_tile_weight,
+    pack_boxes,
+    tile_boxes_from_mask,
+)
+
+
+def ref_tile_boxes(mask, patch_size, overlap_percent):
+    """Numpy replica of reference _get_valid_patch_positions
+    (generator.py:353-398)."""
+    overlap = min(max(overlap_percent, 0.0), 100.0) / 100.0
+    stride = max(1, int(patch_size * (1 - overlap)))
+    h, w = mask.shape
+    half = patch_size // 2
+    ys, xs = np.nonzero(mask)
+    out, used = [], set()
+    for idx in range(0, len(ys), stride):
+        y, x = int(ys[idx]), int(xs[idx])
+        key = (y // stride, x // stride)
+        if key not in used:
+            used.add(key)
+            out.append((max(0, y - half), min(h, y + half),
+                        max(0, x - half), min(w, x + half)))
+    return out
+
+
+def test_tile_boxes_match_reference(rng):
+    mask = (rng.random((120, 200)) > 0.3).astype(np.float32)
+    for overlap in (0.0, 30.0, 50.0, 90.0):
+        ours = tile_boxes_from_mask(mask, 40, overlap)
+        ref = ref_tile_boxes(mask, 40, overlap)
+        assert ours == ref, f"overlap={overlap}"
+
+
+def test_gaussian_weight_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    for ph, pw in [(80, 80), (53, 80), (80, 41), (17, 23)]:
+        # reference generator.py:527-539
+        wy = torch.exp(-((torch.arange(ph) - ph / 2) ** 2 / (ph / 4) ** 2))
+        wx = torch.exp(-((torch.arange(pw) - pw / 2) ** 2 / (pw / 4) ** 2))
+        ref = (wy[:, None] * wx[None, :])[None, None]
+        if (ph, pw) != (80, 80):
+            ref = torch.nn.functional.interpolate(
+                ref, size=(80, 80), mode="bilinear", align_corners=False)
+        got = gaussian_tile_weight(ph, pw, 80)
+        np.testing.assert_allclose(got, ref[0, 0].numpy(), atol=1e-5)
+
+
+def test_bucket_and_pack():
+    assert bucket_size(1) == 32
+    assert bucket_size(33) == 64
+    assert bucket_size(200) == 256
+    boxes = [(0, 16, 0, 16), (4, 20, 4, 20)]
+    pb, wts, n = pack_boxes(boxes, 16, 32)
+    assert pb.shape == (32, 4) and wts.shape == (32, 16, 16) and n == 2
+    assert wts[2:].sum() == 0  # padding tiles contribute nothing
+
+
+def test_frame_blend_matches_manual_reference():
+    """Our single-jit frame program vs a literal per-tile reference replica
+    (center-pad, Gaussian-weighted accumulate, normalize, composite) using
+    the same generator."""
+    from patch_toon_tpu.infer.engine import make_frame_fn
+    from patch_toon_tpu.models import GeneratorJ
+
+    ps = 16
+    h, w, c = 40, 56, 3
+    gen = GeneratorJ(input_channels=3, use_bias=True, resnet_blocks=1,
+                     filters=(4, 8, 8, 8, 8, 4))
+    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, ps, ps, 3)))
+
+    key = jax.random.PRNGKey(1)
+    frame = np.asarray(jax.random.uniform(key, (h, w, c))) * 2 - 1
+    mask = np.zeros((h, w), np.float32)
+    mask[6:34, 8:50] = 1.0
+
+    boxes = tile_boxes_from_mask(mask, ps, 30.0)
+    assert len(boxes) > 3
+    pb, wts, n = pack_boxes(boxes, ps, bucket_size(len(boxes)))
+    fn = make_frame_fn(gen, ps, pb.shape[0], h, w, c, jnp.float32)
+    got = np.asarray(fn(g_vars, jnp.asarray(frame), jnp.asarray(pb),
+                        jnp.asarray(wts), jnp.asarray(mask[..., None])))
+
+    # manual replica (reference generator.py:427-563 semantics)
+    out = np.zeros((h, w, 3), np.float32)
+    weights = np.zeros((h, w, 1), np.float32)
+    for (y0, y1, x0, x1) in boxes:
+        ph, pw = y1 - y0, x1 - x0
+        raw = frame[y0:y1, x0:x1]
+        tile = np.zeros((ps, ps, c), np.float32)
+        ho, wo = (ps - ph) // 2, (ps - pw) // 2
+        tile[ho:ho + ph, wo:wo + pw] = raw           # center pad
+        pred = np.asarray(gen.apply(g_vars, jnp.asarray(tile[None])))[0]
+        wt = gaussian_tile_weight(ph, pw, ps)
+        hl = min(y0 + ps, h) - y0
+        wl = min(x0 + ps, w) - x0
+        out[y0:y0 + hl, x0:x0 + wl] += pred[:hl, :wl] * wt[:hl, :wl, None]
+        weights[y0:y0 + hl, x0:x0 + wl] += wt[:hl, :wl, None]
+    out = out / np.where(weights > 1e-8, weights, 1.0)
+    out = frame[:, :, :3] * (1 - mask[..., None]) + out * mask[..., None]
+    ref = np.round(np.clip((np.clip(out, -1, 1) + 1) * 127.5, 0, 255)).astype(np.uint8)
+
+    # uint8 rounding can flip by 1 on exact .5 boundaries
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+    assert (got != ref).mean() < 0.001
+
+
+@pytest.fixture()
+def synthetic_scene(tmp_path):
+    """Two 48x64 keyframes with a masked center region + gen frames."""
+    rng = np.random.default_rng(7)
+    for split in ("train", "gen"):
+        for sub in ("input", "output", "mask"):
+            (tmp_path / split / sub).mkdir(parents=True)
+    for i in range(2):
+        img = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        sty = 255 - img  # "style" = invert
+        mask = np.zeros((48, 64), np.uint8)
+        mask[16:32, 24:44] = 255
+        for split in ("train", "gen"):
+            Image.fromarray(img).save(tmp_path / split / "input" / f"{i:03d}.png")
+            Image.fromarray(mask).save(tmp_path / split / "mask" / f"{i:03d}.png")
+        Image.fromarray(sty).save(tmp_path / "train" / "output" / f"{i:03d}.png")
+    return tmp_path
+
+
+def test_end_to_end_train_and_infer(synthetic_scene, tmp_path):
+    """Full pipeline: train.py -> checkpoint -> generator.py, tiny scale."""
+    import train as train_entry
+    import generator as gen_entry
+    from patch_toon_tpu.config import compose
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    run_dir = tmp_path / "run"
+    base = synthetic_scene
+
+    cfg = compose(root / "config", "config", overrides=[
+        f"data.dir_pre={base}/train/input",
+        f"data.dir_post={base}/train/output",
+        f"data.dir_mask={base}/train/mask",
+        "data.patch_size=16",
+        "data.additional_channels={}",
+        "training.batch_size=32",
+        "training.max_epochs=2",
+        "training.early_stopping=false",
+        "training.devices=1",
+        "training.image_log_freq=5",
+        "training.log_every_n_steps=2",
+        f"training.output_dir={tmp_path}/out",
+        f"run.dir={run_dir}",
+        "model.generator.args.resnet_blocks=1",
+        "model.generator.args.filters=[4,8,8,8,8,4]",
+        "model.discriminator.args.num_filters=4",
+    ])
+    train_entry.train(cfg)
+
+    ckpt = run_dir / "checkpoints" / "last"
+    assert ckpt.exists()
+    assert (run_dir / "config.yaml").exists()
+
+    icfg = compose(root / "config", "inference", overrides=[
+        f"paths.checkpoint={ckpt}",
+        f"paths.input_dir={base}/gen/input",
+        f"paths.mask_dir={base}/gen/mask",
+        f"paths.output_dir={base}/gen/stylized",
+        "paths.additional_channels={}",
+        "data.patch_size=16",
+        "inference.use_gpu=false",
+        "inference.precision=32",
+        "model.generator.args.resnet_blocks=1",
+        "model.generator.args.filters=[4,8,8,8,8,4]",
+    ])
+    from patch_toon_tpu.infer import StyleTransferInference
+
+    eng = StyleTransferInference(icfg)
+    eng.process_directory()
+
+    outs = sorted((base / "gen" / "stylized").glob("*.png"))
+    assert len(outs) == 2
+    out = np.asarray(Image.open(outs[0]))
+    inp = np.asarray(Image.open(base / "gen" / "input" / "000.png"))
+    assert out.shape == inp.shape
+    mask = np.asarray(Image.open(base / "gen" / "mask" / "000.png")) > 128
+    # outside the mask the frame must be untouched (composite semantics)
+    assert np.array_equal(out[~mask], inp[~mask])
+    # inside the (eroded) mask it must be stylized
+    inner = np.zeros_like(mask)
+    inner[16 + 4:32 - 4, 24 + 4:44 - 4] = True
+    assert np.abs(out[inner].astype(int) - inp[inner].astype(int)).mean() > 2

@@ -1,0 +1,113 @@
+"""Multi-chip tests on the simulated 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from patch_toon_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+def test_mesh_construction():
+    mesh = make_mesh(data=-1, model=1)
+    assert mesh.shape["data"] == len(jax.devices())
+    mesh2 = make_mesh(data=4, model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_dryrun_multichip_full_train_step():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (64, 80, 80, 3)
+
+
+def test_dp_step_matches_single_device():
+    """The sharded train step must produce the same update as single-device
+    (GSPMD psum of a mean-loss gradient == global-batch gradient)."""
+    from patch_toon_tpu.train import StyleTransferModel, make_train_step
+
+    def build():
+        return StyleTransferModel(
+            generator_config={"type": "GeneratorJ", "args": dict(
+                input_channels=3, use_bias=True, resnet_blocks=1,
+                filters=[4, 8, 8, 8, 8, 4], append_smoothers=False)},
+            discriminator_config=None,
+            training_config=dict(
+                batch_size=16, reconstruction_weight=4.0,
+                adversarial_weight=0.5, use_image_loss=True,
+                reconstruction_criterion="MSELoss",
+                adversarial_criterion="MSELoss",
+                use_gradient_clipping=True, gradient_clip_val=0.5,
+                precision=32),
+            optimizer_config=dict(
+                generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5),
+                discriminator=dict(lr=4e-4, betas=[0.9, 0.999],
+                                   weight_decay=1e-5)),
+            data_config=dict(patch_size=16, additional_channels={}),
+            perception_loss_config=None,
+        )
+
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "pre": jax.random.uniform(rng, (16, 16, 16, 3)) * 2 - 1,
+        "post": jax.random.uniform(jax.random.fold_in(rng, 1),
+                                   (16, 16, 16, 3)) * 2 - 1,
+    }
+
+    # single device
+    model = build()
+    state0 = model.init_state(jax.random.PRNGKey(3), patch_size=16)
+    step = make_train_step(model, donate=False)
+    s1, m1 = step(state0, batch, jax.random.PRNGKey(7))
+
+    # 8-device mesh
+    mesh = make_mesh(data=8, model=1)
+    with mesh:
+        state_r = replicate(state0, mesh)
+        sharded = shard_batch(batch, mesh)
+        s8, m8 = step(state_r, sharded, jax.random.PRNGKey(7))
+
+    assert np.isclose(float(m1["g_total_loss"]), float(m8["g_total_loss"]),
+                      atol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(s1.g_params)
+    flat8 = jax.tree_util.tree_leaves(s8.g_params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_sampler_layout(reference_path):
+    """sample_batch jitted with sharded out_shardings stays correct."""
+    base = reference_path / "test_dataset" / "PlatinumChan_x0.5_train"
+    if not base.exists():
+        pytest.skip("sample data not present")
+    from patch_toon_tpu.data import StyleTransferDataset
+
+    ds = StyleTransferDataset(
+        dir_pre=str(base / "input"), dir_post=str(base / "output"),
+        dir_mask=str(base / "mask"), patch_size=32,
+    )
+    mesh = make_mesh(data=8, model=1)
+    b_shard = batch_sharding(mesh)
+    struct = jax.eval_shape(lambda r: ds.sample_batch(r, 16),
+                            jax.random.PRNGKey(0))
+    sample = jax.jit(lambda r: ds.sample_batch(r, 16),
+                     out_shardings=jax.tree.map(lambda _: b_shard, struct))
+    with mesh:
+        batch = sample(jax.random.PRNGKey(5))
+    assert batch["pre"].shape == (16, 32, 32, 3)
+    assert batch["pre"].sharding.is_equivalent_to(b_shard, 4)
+    assert float(jnp.std(batch["pre"])) > 0.01

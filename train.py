@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Training driver — same CLI surface as the reference ``train.py``.
+
+Usage:
+    python train.py [key=value overrides ...]
+e.g.
+    python train.py training.batch_size=40 data.patch_size=64 data=miku
+
+Composes the Hydra-compatible ``config/`` tree (reference train.py:51-52),
+prints + snapshots the resolved config into the timestamped run directory
+(reference train.py:56-64, config/config.yaml:12-18), builds the
+StyleTransferModel and device-resident dataset, and runs the jitted training
+loop with top-3+last checkpointing, TensorBoard logging, and early stopping
+(reference train.py:15-49,89-105).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+
+def train(cfg) -> None:
+    import jax
+
+    accelerator = str(cfg.training.get("accelerator", "auto"))
+    if accelerator == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import yaml
+
+    from patch_toon_tpu.config import save, to_container
+    from patch_toon_tpu.data import StyleTransferDataset
+    from patch_toon_tpu.parallel import make_mesh
+    from patch_toon_tpu.train.loop import fit
+    from patch_toon_tpu.train.model import StyleTransferModel
+
+    run_dir = Path(cfg.get("run", {}).get("dir")
+                   or cfg.training.get("output_dir", "outputs"))
+    run_dir.mkdir(parents=True, exist_ok=True)
+    print("=== Resolved config ===")
+    print(yaml.safe_dump(to_container(cfg), sort_keys=False))
+    save(cfg, run_dir / "config.yaml")  # snapshot (reference train.py:62-64)
+
+    dataset = StyleTransferDataset(
+        dir_pre=cfg.data.dir_pre,
+        dir_post=cfg.data.dir_post,
+        dir_mask=cfg.data.dir_mask,
+        patch_size=int(cfg.data.patch_size),
+        augmentation_factor=int(cfg.data.get("augmentation_factor", 1)),
+        additional_channels=to_container(
+            cfg.data.get("additional_channels") or {}),
+    )
+
+    model = StyleTransferModel(
+        generator_config=cfg.model.generator,
+        discriminator_config=cfg.model.get("discriminator"),
+        training_config=cfg.training,
+        optimizer_config=cfg.optimizer,
+        data_config=cfg.data,
+        perception_loss_config=cfg.model.get("perception_loss"),
+    )
+
+    # devices: 1 = single chip (no mesh), N = N-chip data mesh, -1 = all chips
+    devices = int(cfg.training.get("devices", 1))
+    mesh = None
+    if devices != 1:
+        par = cfg.get("parallel", {}).get("mesh", {})
+        mesh = make_mesh(data=devices, model=int(par.get("model", 1)))
+        print(f"Mesh: {mesh}")
+
+    fit(model, dataset, run_dir=str(run_dir), mesh=mesh,
+        max_epochs=int(cfg.training.get("max_epochs", 50)))
+    print(f"Training complete. Run dir: {run_dir}")
+
+
+def main(argv=None) -> None:
+    from patch_toon_tpu.config import compose
+
+    argv = sys.argv[1:] if argv is None else argv
+    config_dir = Path(__file__).resolve().parent / "config"
+    cfg = compose(config_dir, "config", overrides=argv)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
