@@ -58,13 +58,28 @@ def bench_inference(frames: int = 30) -> float:
     pb_j, wts_j = jnp.asarray(pb), jnp.asarray(wts)
     mask_j = jnp.asarray(mask[..., None])
 
-    # warmup / compile
-    fn(g_vars, frame_batch[0], pb_j, wts_j, mask_j).block_until_ready()
+    # warmup / compile + steady-state warm
+    for i in range(6):
+        np.asarray(fn(g_vars, frame_batch[i % 4], pb_j, wts_j, mask_j))
 
+    # streaming measurement: FULL uint8 frame readback to host per frame
+    # (what a real video pipeline must do), overlapped with compute via
+    # async D2H copies and a bounded pipeline depth. Full-array fetches
+    # cannot complete before execution, unlike block_until_ready which the
+    # remote-tunnel backend resolves early.
     t0 = time.perf_counter()
+    in_flight = []
     for i in range(frames):
-        out = fn(g_vars, frame_batch[i % 4], pb_j, wts_j, mask_j)
-    out.block_until_ready()
+        o = fn(g_vars, frame_batch[i % 4], pb_j, wts_j, mask_j)
+        try:
+            o.copy_to_host_async()
+        except Exception:
+            pass
+        in_flight.append(o)
+        if len(in_flight) > 4:
+            np.asarray(in_flight.pop(0))
+    for o in in_flight:
+        np.asarray(o)
     dt = time.perf_counter() - t0
     print(f"[bench] inference: {len(boxes)} tiles/frame, bucket {bucket}, "
           f"{frames} frames in {dt:.3f}s", file=sys.stderr)
@@ -113,11 +128,15 @@ def bench_training(steps: int = 50) -> float:
         "channels": jax.random.uniform(rng, (batch_size, ps, ps, 3)) * 2 - 1,
     }
     state, metrics = step(state, batch, rng)  # compile
-    jax.block_until_ready(metrics)
+    float(metrics["g_total_loss"])
+    for i in range(5):  # steady-state warm
+        state, metrics = step(state, batch, jax.random.fold_in(rng, 1000 + i))
+    float(metrics["g_total_loss"])
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = step(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics)
+    # data fetch forces true completion of the sequential state chain
+    float(metrics["g_total_loss"])
     dt = time.perf_counter() - t0
     return steps * batch_size / dt
 
