@@ -1,0 +1,133 @@
+"""TPU-native dense optical flow (pyramidal iterative Lucas–Kanade).
+
+Replaces the reference's cv2 C++ DIS optical flow
+(tools/optical_flow.py:39,96) with an on-device operator: a Gaussian-ish
+image pyramid, and at each level iterative windowed Lucas–Kanade refinement
+with backward warping — all convolutions and elementwise math, fully jittable
+and batchable over frame pairs.
+
+Exact parity with cv2's DIS output is infeasible (SURVEY.md §7); the parity
+bar for guide channels is usefulness, and the optical-flow tool keeps a cv2
+DIS backend as the bit-exact escape hatch when opencv is present.
+
+Flow convention matches cv2: ``flow[y, x] = (dx, dy)`` such that
+``img2[y + dy, x + dx] ≈ img1[y, x]``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _box_filter(x: jax.Array, k: int) -> jax.Array:
+    """Separable ones-filter over HW (same padding), channels preserved."""
+    ones_h = jnp.ones((k, 1, 1, 1), x.dtype)
+    ones_w = jnp.ones((1, k, 1, 1), x.dtype)
+    pad = k // 2
+    y = x[None]
+    for kernel, pads in ((ones_h, ((pad, pad), (0, 0))),
+                         (ones_w, ((0, 0), (pad, pad)))):
+        c = y.shape[-1]
+        y = jax.lax.conv_general_dilated(
+            y, jnp.tile(kernel, (1, 1, 1, c)),
+            window_strides=(1, 1), padding=pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+    return y[0]
+
+
+def _downsample2(img: jax.Array) -> jax.Array:
+    """2x2 average-pool downsample of an HW image (floor semantics)."""
+    h, w = img.shape
+    h2, w2 = h // 2, w // 2
+    img = img[: 2 * h2, : 2 * w2]
+    return img.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+
+
+def _gradients(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Central-difference spatial gradients with edge clamping."""
+    padded = jnp.pad(img, 1, mode="edge")
+    ix = (padded[1:-1, 2:] - padded[1:-1, :-2]) * 0.5
+    iy = (padded[2:, 1:-1] - padded[:-2, 1:-1]) * 0.5
+    return ix, iy
+
+
+def _warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Backward-warp an HW image by flow (dx,dy), bilinear, clamped."""
+    h, w = img.shape
+    ys = jnp.arange(h, dtype=flow.dtype)[:, None] + flow[..., 1]
+    xs = jnp.arange(w, dtype=flow.dtype)[None, :] + flow[..., 0]
+    return jax.scipy.ndimage.map_coordinates(
+        img, [ys, xs], order=1, mode="nearest")
+
+
+def _lk_refine(i1: jax.Array, i2: jax.Array, flow: jax.Array,
+               window: int, iters: int, eps: float) -> jax.Array:
+    def one_iter(flow, _):
+        warped = _warp(i2, flow)
+        ix, iy = _gradients(warped)
+        it = warped - i1
+
+        def wsum(a):
+            return _box_filter(a[..., None], window)[..., 0]
+
+        axx = wsum(ix * ix) + eps
+        axy = wsum(ix * iy)
+        ayy = wsum(iy * iy) + eps
+        bx = -wsum(ix * it)
+        by = -wsum(iy * it)
+        det = axx * ayy - axy * axy
+        du = (ayy * bx - axy * by) / det
+        dv = (axx * by - axy * bx) / det
+        # clamp per-iteration update for stability
+        du = jnp.clip(du, -window, window)
+        dv = jnp.clip(dv, -window, window)
+        return flow + jnp.stack([du, dv], axis=-1), None
+
+    flow, _ = jax.lax.scan(one_iter, flow, None, length=iters)
+    return flow
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("levels", "iters", "window"))
+def dense_flow(
+    img1: jax.Array,      # (H, W) grayscale float in [0, 1]
+    img2: jax.Array,
+    levels: int = 4,
+    iters: int = 4,
+    window: int = 15,
+    eps: float = 1e-4,
+) -> jax.Array:
+    """Dense flow img1 -> img2, returns (H, W, 2) float32 (dx, dy)."""
+    i1 = img1.astype(jnp.float32)
+    i2 = img2.astype(jnp.float32)
+    pyr: List[Tuple[jax.Array, jax.Array]] = [(i1, i2)]
+    for _ in range(levels - 1):
+        a, b = pyr[-1]
+        if min(a.shape) // 2 < max(8, window):
+            break
+        pyr.append((_downsample2(a), _downsample2(b)))
+
+    a, b = pyr[-1]
+    flow = jnp.zeros((*a.shape, 2), jnp.float32)
+    for level in range(len(pyr) - 1, -1, -1):
+        a, b = pyr[level]
+        if flow.shape[:2] != a.shape:
+            # upsample flow to this level and scale displacements by 2
+            flow = 2.0 * jax.image.resize(
+                flow, (*a.shape, 2), method="bilinear")
+        flow = _lk_refine(a, b, flow, window, iters, eps)
+    return flow
+
+
+def masked_flow(img1: jax.Array, img2: jax.Array, mask: jax.Array,
+                **kwargs) -> jax.Array:
+    """dense_flow with out-of-mask zeroing (reference optical_flow.py:94-99:
+    ``flow[~mask] = 0``)."""
+    flow = dense_flow(img1, img2, **kwargs)
+    return flow * (mask.astype(jnp.float32) > 0.5)[..., None]
