@@ -160,6 +160,7 @@ class StyleTransferDataset:
         table = np.zeros((self.num_images, maxc, 2), dtype=np.int32)
         for i, c in enumerate(centers_per_img):
             table[i, : len(c)] = c
+        self.centers_np = table
         self.centers = jnp.asarray(table)
         self.counts = jnp.asarray(self.counts_np)
 
@@ -187,6 +188,26 @@ class StyleTransferDataset:
         cidx = jnp.minimum(cidx, self.counts[img] - 1)
         return img, self.centers[img, cidx]
 
+    def gather_batch(
+        self,
+        img: jax.Array,
+        ctrs: jax.Array,
+        aug_ctrs: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        """Gather aligned patch dicts for explicit (image, center) picks."""
+        patch = cut_patches(self.stack, self.sizes, img, ctrs, self.patch_size)
+        out: Dict[str, jax.Array] = {"pre": patch[..., self._pre_sl[0]:self._pre_sl[1]]}
+        if self._post_sl:
+            out["post"] = patch[..., self._post_sl[0]:self._post_sl[1]]
+        if self._chan_sl:
+            out["channels"] = patch[..., self._chan_sl[0]:self._chan_sl[1]]
+        if aug_ctrs is not None and self._post_sl:
+            aug = cut_patches(self.stack, self.sizes, img, aug_ctrs, self.patch_size)
+            out["already"] = aug[..., self._post_sl[0]:self._post_sl[1]]
+            if self._chan_sl:
+                out["channels_aug"] = aug[..., self._chan_sl[0]:self._chan_sl[1]]
+        return out
+
     def sample_batch(self, rng: jax.Array, batch_size: int) -> Dict[str, jax.Array]:
         """Gather one training batch of aligned patches, entirely on device.
 
@@ -196,19 +217,65 @@ class StyleTransferDataset:
         """
         k_main, k_aug = jax.random.split(rng)
         img, ctrs = self.sample_centers(k_main, batch_size)
-        patch = cut_patches(self.stack, self.sizes, img, ctrs, self.patch_size)
-        out: Dict[str, jax.Array] = {"pre": patch[..., self._pre_sl[0]:self._pre_sl[1]]}
-        if self._post_sl:
-            out["post"] = patch[..., self._post_sl[0]:self._post_sl[1]]
-        if self._chan_sl:
-            out["channels"] = patch[..., self._chan_sl[0]:self._chan_sl[1]]
+        aug_ctrs = None
         if self.augmentation_factor > 1 and self._post_sl:
             _, aug_ctrs = self.sample_centers(k_aug, batch_size)
-            aug = cut_patches(self.stack, self.sizes, img, aug_ctrs, self.patch_size)
-            out["already"] = aug[..., self._post_sl[0]:self._post_sl[1]]
-            if self._chan_sl:
-                out["channels_aug"] = aug[..., self._chan_sl[0]:self._chan_sl[1]]
-        return out
+        return self.gather_batch(img, ctrs, aug_ctrs)
+
+    # -- without-replacement (permutation) sampling --------------------------
+
+    def _perm_next(self, img_indices: "np.ndarray") -> "np.ndarray":
+        """Host-side without-replacement center picks per image, resetting
+        each image's pool on exhaustion (reference dataset.py:249-256)."""
+        if not hasattr(self, "_perm_queues"):
+            self._perm_rng = np.random.default_rng(0)
+            self._perm_queues = [
+                list(self._perm_rng.permutation(int(c)))
+                for c in self.counts_np
+            ]
+        picks = np.empty(len(img_indices), np.int64)
+        for j, i in enumerate(img_indices):
+            q = self._perm_queues[i]
+            if not q:
+                q.extend(self._perm_rng.permutation(int(self.counts_np[i])))
+            picks[j] = q.pop()
+        return picks
+
+    def sample_batch_permutation(self, batch_size: int) -> Dict[str, jax.Array]:
+        """Without-replacement variant: uniform image pick, permuted center
+        pick (host index bookkeeping, device gather)."""
+        if not hasattr(self, "_perm_rng_img"):
+            self._perm_rng_img = np.random.default_rng(1)
+        imgs = self._perm_rng_img.integers(0, self.num_images, batch_size)
+        picks = self._perm_next(imgs)
+        ctrs = jnp.asarray(self.centers_np[imgs, picks])
+        aug_ctrs = None
+        if self.augmentation_factor > 1 and self._post_sl:
+            aug_picks = np.array([
+                self._perm_rng_img.integers(0, self.counts_np[i])
+                for i in imgs])
+            aug_ctrs = jnp.asarray(self.centers_np[imgs, aug_picks])
+        return self.gather_batch(jnp.asarray(imgs, jnp.int32), ctrs, aug_ctrs)
+
+    def make_sampler(self, batch_size: int, mesh=None):
+        """Build the per-step sampler callable used by the train loop."""
+        if self.sampling == "permutation":
+            if mesh is None:
+                return lambda rng: self.sample_batch_permutation(batch_size)
+            from patch_toon_tpu.parallel.mesh import shard_batch
+
+            return lambda rng: shard_batch(
+                self.sample_batch_permutation(batch_size), mesh)
+        if mesh is None:
+            return jax.jit(lambda rng: self.sample_batch(rng, batch_size))
+        from patch_toon_tpu.parallel.mesh import batch_sharding
+
+        struct = jax.eval_shape(
+            lambda r: self.sample_batch(r, batch_size), jax.random.PRNGKey(0))
+        return jax.jit(
+            lambda rng: self.sample_batch(rng, batch_size),
+            out_shardings=jax.tree.map(
+                lambda _: batch_sharding(mesh), struct))
 
     def model_input(self, batch: Dict[str, jax.Array]) -> jax.Array:
         """Concat RGB + guide channels (reference lightning_model.py:211-221)."""

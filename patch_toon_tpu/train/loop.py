@@ -23,11 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from patch_toon_tpu.data.dataset import StyleTransferDataset
-from patch_toon_tpu.parallel.mesh import (
-    batch_sharding,
-    make_mesh,
-    replicate,
-)
+from patch_toon_tpu.parallel.mesh import replicate
 from patch_toon_tpu.train.checkpoints import CheckpointManager
 from patch_toon_tpu.train.logging import MetricsLogger, build_comparison_grid
 from patch_toon_tpu.train.model import StyleTransferModel
@@ -65,17 +61,7 @@ def fit(
 
     if mesh is not None:
         state = replicate(state, mesh)
-        b_shard = batch_sharding(mesh)
-        struct = jax.eval_shape(
-            lambda r: dataset.sample_batch(r, batch_size),
-            jax.random.PRNGKey(0),
-        )
-        sample = jax.jit(
-            lambda r: dataset.sample_batch(r, batch_size),
-            out_shardings=jax.tree.map(lambda _: b_shard, struct),
-        )
-    else:
-        sample = jax.jit(lambda r: dataset.sample_batch(r, batch_size))
+    sample = dataset.make_sampler(batch_size, mesh)
 
     train_step = make_train_step(model)
 
@@ -100,6 +86,13 @@ def fit(
     print(f"Training: {max_epochs} epochs x {steps_per_epoch} steps, "
           f"batch {batch_size}, {dataset.num_images} keyframes, "
           f"{len(dataset)} patch centers")
+
+    # optional jax.profiler trace of the first training steps
+    # (training.profile_dir knob — the reference has no profiler at all,
+    # SURVEY.md §5 "Tracing / profiling: none")
+    profile_dir = tc.get("profile_dir")
+    if profile_dir:
+        jax.profiler.start_trace(str(profile_dir))
 
     for epoch in range(max_epochs):
         epoch_losses = []
@@ -130,6 +123,12 @@ def fit(
                     channel_depths,
                 )
                 logger.log_image("training/comparison_grid", grid, global_step)
+
+        if profile_dir and epoch == 0:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            profile_dir = None
+            print(f"Profiler trace of epoch 0 written to {tc['profile_dir']}")
 
         mean_loss = float(jnp.mean(jnp.asarray(
             [jnp.asarray(v) for v in epoch_losses])))

@@ -119,3 +119,28 @@ def test_dataset_augmentation(platinum_dirs):
     assert len(ds) == 2 * n1  # x augmentation_factor (dataset.py:296-298)
     batch = ds.sample_batch(jax.random.PRNGKey(1), 4)
     assert "already" in batch and batch["already"].shape == (4, 32, 32, 3)
+
+
+def test_permutation_sampling_without_replacement(platinum_dirs):
+    """Permutation mode must visit each image's centers without repeats
+    until the pool resets (reference dataset.py:249-256 semantics)."""
+    from patch_toon_tpu.data import StyleTransferDataset
+
+    ds = StyleTransferDataset(
+        dir_pre=str(platinum_dirs / "input"),
+        dir_post=str(platinum_dirs / "output"),
+        dir_mask=str(platinum_dirs / "mask"),
+        patch_size=32,
+        sampling="permutation",
+    )
+    # draw a bounded number of picks for image 0 and check uniqueness
+    count0 = int(ds.counts_np[0])
+    draws = min(count0, 500)
+    picks = ds._perm_next(np.zeros(draws, np.int64))
+    assert len(set(picks.tolist())) == draws  # no repeats within the pool
+
+    batch = ds.sample_batch_permutation(8)
+    assert batch["pre"].shape == (8, 32, 32, 3)
+    sampler = ds.make_sampler(8)
+    batch2 = sampler(jax.random.PRNGKey(0))
+    assert batch2["post"].shape == (8, 32, 32, 3)

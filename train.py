@@ -50,6 +50,7 @@ def train(cfg) -> None:
         augmentation_factor=int(cfg.data.get("augmentation_factor", 1)),
         additional_channels=to_container(
             cfg.data.get("additional_channels") or {}),
+        sampling=str(cfg.data.get("sampling", "uniform")),
     )
 
     model = StyleTransferModel(
@@ -70,7 +71,8 @@ def train(cfg) -> None:
         print(f"Mesh: {mesh}")
 
     fit(model, dataset, run_dir=str(run_dir), mesh=mesh,
-        max_epochs=int(cfg.training.get("max_epochs", 50)))
+        max_epochs=int(cfg.training.get("max_epochs", 50)),
+        resume_from=cfg.training.get("resume_from"))
     print(f"Training complete. Run dir: {run_dir}")
 
 
