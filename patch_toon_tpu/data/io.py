@@ -48,10 +48,36 @@ def find_corresponding_image(base_dir: Union[str, Path], image_name: str) -> str
     return os.path.join(str(base_dir), image_name)
 
 
+def _decode_rgb_uint8(path: Union[str, Path]) -> np.ndarray:
+    """Decode to uint8 HW3 RGB, preferring the native C++ PNG codec.
+
+    Channel handling matches PIL's ``convert("RGB")``: gray replicated,
+    LA's L replicated, RGBA's alpha dropped.
+    """
+    p = str(path)
+    if p.lower().endswith(".png"):
+        try:
+            from patch_toon_tpu.native import decode_png, native_available
+
+            if native_available():
+                arr = decode_png(p)
+                c = arr.shape[-1]
+                if c == 3:
+                    return arr
+                if c == 1:
+                    return np.repeat(arr, 3, axis=-1)
+                if c == 2:  # LA
+                    return np.repeat(arr[..., :1], 3, axis=-1)
+                if c == 4:  # RGBA: PIL convert("RGB") drops alpha
+                    return np.ascontiguousarray(arr[..., :3])
+        except Exception:
+            pass
+    return np.asarray(Image.open(p).convert("RGB"))
+
+
 def load_image_rgb(path: Union[str, Path]) -> np.ndarray:
     """Load an image as float32 HWC RGB in [-1, 1]."""
-    img = Image.open(path).convert("RGB")
-    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr = _decode_rgb_uint8(path).astype(np.float32) / 255.0
     return arr * 2.0 - 1.0
 
 
@@ -62,8 +88,7 @@ def load_image_channels(path: Union[str, Path], depth: int) -> np.ndarray:
     (dataset.py:191, generator.py:606), i.e. forces 3 bands; depth selects how
     many are fed to the network (first `depth` of the RGB conversion).
     """
-    img = Image.open(path).convert("RGB")
-    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr = _decode_rgb_uint8(path).astype(np.float32) / 255.0
     arr = arr * 2.0 - 1.0
     return arr[..., :depth]
 
@@ -72,8 +97,22 @@ def load_mask(path: Union[str, Path], binarize_threshold: int = 128) -> np.ndarr
     """Load a mask as float32 HW in [0, 1], binarized at >threshold.
 
     Mirrors reference dataset.py:157 (``p > 128 and 255``) + ToTensor.
+    Native decode used only for single-channel PNGs (PIL's RGB->L luminance
+    rounding is kept bit-exact by falling back to PIL otherwise).
     """
-    img = Image.open(path).convert("L")
+    p = str(path)
+    if p.lower().endswith(".png"):
+        try:
+            from patch_toon_tpu.native import decode_png, native_available
+
+            if native_available():
+                arr = decode_png(p)
+                if arr.shape[-1] in (1, 2):  # L or LA
+                    return (arr[..., 0].astype(np.float32)
+                            > binarize_threshold).astype(np.float32)
+        except Exception:
+            pass
+    img = Image.open(p).convert("L")
     arr = np.asarray(img, dtype=np.float32)
     return (arr > binarize_threshold).astype(np.float32)
 

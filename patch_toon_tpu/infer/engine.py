@@ -206,26 +206,37 @@ class StyleTransferInference:
                 self.dtype)
         return self._frame_fns[key]
 
-    def process_large_image(
+    def _stylize_device(
         self,
         frame: np.ndarray,                 # (H,W,C) fp32 [-1,1]
         mask: Optional[np.ndarray] = None,  # (H,W) eroded {0,1}, or None
         overlap_percent: Optional[float] = None,
-    ) -> np.ndarray:
-        """Stylize one frame; returns (H,W,3) uint8."""
+    ):
+        """Dispatch one frame's stylization; returns the device uint8 array
+        (async — fetch with np.asarray) and the tile boxes."""
         h, w, c = frame.shape
         if mask is None:
             mask = np.ones((h, w), np.float32)
         boxes = tile_boxes_from_mask(
             mask, self.patch_size,
             self.overlap_percent if overlap_percent is None else overlap_percent)
-        self.patch_positions = boxes
         bucket = bucket_size(max(1, len(boxes)))
         packed_boxes, weights, _ = pack_boxes(boxes, self.patch_size, bucket)
         fn = self._frame_fn(h, w, c, bucket)
         out = fn(self.g_vars, jnp.asarray(frame),
                  jnp.asarray(packed_boxes), jnp.asarray(weights),
                  jnp.asarray(mask[..., None]))
+        return out, boxes
+
+    def process_large_image(
+        self,
+        frame: np.ndarray,
+        mask: Optional[np.ndarray] = None,
+        overlap_percent: Optional[float] = None,
+    ) -> np.ndarray:
+        """Stylize one frame; returns (H,W,3) uint8."""
+        out, boxes = self._stylize_device(frame, mask, overlap_percent)
+        self.patch_positions = boxes
         return np.asarray(out)
 
     def _load_frame(self, input_path: str) -> np.ndarray:
@@ -274,8 +285,20 @@ class StyleTransferInference:
         img.save(debug_path)
 
     def process_directory(self) -> None:
-        """Stylize every frame in paths.input_dir (generator.py:674-705)."""
+        """Stylize every frame in paths.input_dir as a streaming pipeline.
+
+        Same surface and per-file resilience as reference
+        generator.py:674-705, but structured as overlapped stages: host
+        decode runs ahead in a thread pool (native C++ PNG codec when
+        available), device dispatches are pipelined at depth 2, and PNG
+        encode/write happens in the native async writer — so the TPU never
+        waits on IO.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         from tqdm import tqdm
+
+        from patch_toon_tpu.native import FrameWriter
 
         input_dir = Path(self.cfg.paths.input_dir)
         mask_dir = Path(self.cfg.paths.mask_dir)
@@ -288,13 +311,51 @@ class StyleTransferInference:
 
         files = sorted(input_dir.glob("*.[pj][np][g]"))
         self.logger.info(f"Found {len(files)} images to process")
-        for input_path in tqdm(files, desc="Processing images"):
-            try:
-                self.process_image(
-                    str(input_path),
-                    str(mask_dir / input_path.name),
-                    str(output_dir / input_path.name),
-                )
-            except Exception as e:
-                self.logger.error(f"Failed to process {input_path.name}: {e}")
-                continue
+
+        def load_one(input_path: Path):
+            frame = self._load_frame(str(input_path))
+            mask = self._load_eroded_mask(
+                str(mask_dir / input_path.name), frame.shape[:2])
+            return frame, mask
+
+        in_flight: List[Tuple[Any, List[Box], Path]] = []
+        writer = FrameWriter(num_threads=2)
+
+        def drain_one():
+            out, boxes, save_path = in_flight.pop(0)
+            arr = np.asarray(out)
+            writer.submit(str(save_path), arr)
+            if self.debug_mode:
+                self.patch_positions = boxes
+                self._save_debug_overlay(arr, str(save_path))
+
+        PREFETCH = 4  # bound decoded-frame memory to O(PREFETCH)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = {}
+            for p in files[:PREFETCH]:
+                futures[p] = pool.submit(load_one, p)
+            for i, input_path in enumerate(tqdm(files, desc="Processing images")):
+                if i + PREFETCH < len(files):
+                    nxt = files[i + PREFETCH]
+                    futures[nxt] = pool.submit(load_one, nxt)
+                try:
+                    frame, mask = futures.pop(input_path).result()
+                    out, boxes = self._stylize_device(frame, mask)
+                    try:
+                        out.copy_to_host_async()
+                    except Exception:
+                        pass
+                    in_flight.append(
+                        (out, boxes, output_dir / input_path.name))
+                    if len(in_flight) > 2:
+                        drain_one()
+                except Exception as e:
+                    self.logger.error(
+                        f"Failed to process {input_path.name}: {e}")
+                    continue
+            while in_flight:
+                drain_one()
+        failed = writer.flush()
+        writer.close()
+        if failed:
+            self.logger.error(f"{failed} frame writes failed")
