@@ -81,19 +81,36 @@ def make_train_step(
 
         metrics: Metrics = {}
 
-        # ---- discriminator phase -------------------------------------
-        # When no discriminator is configured the reference skips this phase
-        # entirely (lightning_model.py:224), including the extra generator
-        # forward — so BatchNorm stats update once per step, not twice.
+        # ---- ONE generator forward serves both phases ------------------
+        # The reference runs the generator twice on the same input — once
+        # under no_grad for the D phase (lightning_model.py:296-297), once
+        # with grad for the G phase (lightning_model.py:262). Both forwards
+        # see identical params/inputs, so their values are identical; here a
+        # single jax.vjp forward provides the D phase's fake batch (via
+        # stop_gradient) AND the linearization for the G backward —
+        # mathematically the same update at ~20% less compute. The one
+        # observable difference, BatchNorm running stats advancing twice per
+        # step, is replicated arithmetically below.
         d_params, d_opt = state.d_params, state.d_opt
-        bs1 = state.g_batch_stats
+
+        def g_fwd_only(p):
+            return g_forward(p, state.g_batch_stats, x)
+
+        (gen, bs_new), g_vjp = jax.vjp(g_fwd_only, state.g_params,
+                                       has_aux=False)
+        gen_value = jax.lax.stop_gradient(gen)
+
         if D is not None:
-            gen_for_d, bs1 = g_forward(state.g_params, state.g_batch_stats, x)
-            gen_for_d = jax.lax.stop_gradient(gen_for_d)
+            # reference applies the BN momentum update in BOTH forwards:
+            # m2 = 0.9*m1 + 0.1*b == m1 + 0.9*(m1 - m0)
+            bs2 = jax.tree.map(
+                lambda new, old: new + 0.9 * (new - old),
+                bs_new, state.g_batch_stats,
+            )
 
             def d_loss_fn(p):
                 real = d_apply(p, post, rng_real)
-                fake = d_apply(p, gen_for_d, rng_fake_d)
+                fake = d_apply(p, gen_value, rng_fake_d)
                 real_loss = adv_crit(real, jnp.ones_like(real))
                 fake_loss = adv_crit(fake, jnp.zeros_like(fake))
                 return (real_loss + fake_loss) * 0.5, (real_loss, fake_loss)
@@ -105,30 +122,33 @@ def make_train_step(
             metrics.update(
                 d_real_loss=real_loss, d_fake_loss=fake_loss, d_total_loss=d_loss
             )
+        else:
+            bs2 = bs_new
 
-        # ---- generator phase (uses the UPDATED discriminator) ---------
-        def g_loss_fn(p):
-            gen, bs2 = g_forward(p, bs1, x)
+        # ---- generator phase (adversarial term vs the UPDATED D) -------
+        def loss_from_gen(g):
             losses: Metrics = {}
             if use_image_loss:
-                losses["g_image_loss"] = rec_crit(gen, post) * rec_w
+                losses["g_image_loss"] = rec_crit(g, post) * rec_w
             if P is not None:
-                fake_feats = p_features(state.vgg_params, gen)
+                fake_feats = p_features(state.vgg_params, g)
                 target_feats = p_features(
                     state.vgg_params, jax.lax.stop_gradient(post))
                 losses["g_perception_loss"] = (
                     perceptual_mse(fake_feats, target_feats) * pw
                 )
             if D is not None:
-                fake_logits = d_apply(d_params, gen, rng_fake_g)
+                fake_logits = d_apply(d_params, g, rng_fake_g)
                 losses["g_adversarial_loss"] = (
                     adv_crit(fake_logits, jnp.ones_like(fake_logits)) * adv_w
                 )
-            total = sum(losses.values())
-            return total, (losses, bs2)
+            return sum(losses.values()), losses
 
-        (g_total, (g_losses, bs2)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
+        (g_total, g_losses), dgen = jax.value_and_grad(
+            loss_from_gen, has_aux=True)(gen)
+        # pull d(loss)/d(gen) back through the generator; bs_new is a
+        # non-differentiable aux output of the vjp'd function
+        (g_grads,) = g_vjp((dgen, jax.tree.map(jnp.zeros_like, bs_new)))
         g_updates, g_opt = tx_g.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 

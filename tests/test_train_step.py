@@ -188,3 +188,129 @@ def test_step_counter_and_no_d():
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert int(state.step) == 1
     assert "d_total_loss" not in metrics
+
+
+def test_full_gan_step_parity_vs_torch():
+    """One complete reference training_step (D update, then G update with
+    image + perceptual + adversarial losses against the updated D) must land
+    on the same G and D parameters as torch."""
+    ref_gen = _load_ref_module("generator")
+    ref_disc = _load_ref_module("discriminator")
+    torch.manual_seed(0)
+    tg = ref_gen.GeneratorJ(**GEN_ARGS).train()
+    td = ref_disc.DiscriminatorN_IN(
+        input_channels=3, num_filters=8, n_layers=2, use_noise=False,
+        norm_layer="instance_norm", use_bias=True).train()
+    x_t = torch.randn(4, 3, 32, 32)
+    y_t = torch.rand(4, 3, 32, 32) * 2 - 1
+
+    model = _make_model(with_d=True, with_p=True, rec_criterion="MSELoss")
+    g_params0, g_stats0 = generator_params_from_torch(tg.state_dict(),
+                                                      resnet_blocks=2)
+    from patch_toon_tpu.utils.torch_compat import (
+        discriminator_params_from_torch,
+    )
+
+    d_params0 = discriminator_params_from_torch(td.state_dict(), n_layers=2)
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=32)
+    state = state.replace(
+        g_params=jax.tree.map(jnp.asarray, g_params0),
+        g_batch_stats=jax.tree.map(jnp.asarray, g_stats0),
+        g_opt=model.tx_g.init(jax.tree.map(jnp.asarray, g_params0)),
+        d_params=jax.tree.map(jnp.asarray, d_params0),
+        d_opt=model.tx_d.init(jax.tree.map(jnp.asarray, d_params0)),
+    )
+
+    # torch VGG prefix carrying OUR deterministic fallback weights
+    vgg_params = state.vgg_params
+    prefix = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 64, 3, 1, 1), torch.nn.ReLU(),
+        torch.nn.Conv2d(64, 64, 3, 1, 1), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2, 2), torch.nn.Conv2d(64, 128, 3, 1, 1),
+    )
+    with torch.no_grad():
+        for idx in (0, 2, 5):
+            k = np.asarray(vgg_params[f"features_{idx}"]["kernel"])  # HWIO
+            b = np.asarray(vgg_params[f"features_{idx}"]["bias"])
+            prefix[idx].weight.copy_(
+                torch.from_numpy(np.transpose(k, (3, 2, 0, 1))))
+            prefix[idx].bias.copy_(torch.from_numpy(b))
+    prefix = prefix.eval()
+
+    def torch_vgg_feats(img):
+        feats, cur = [], img
+        for i, layer in enumerate(prefix):
+            cur = layer(cur)
+            if i in (0, 3, 5):
+                feats.append(cur.reshape(cur.size(0), -1))
+        return torch.cat(feats, dim=1)
+
+    # ---- our step -------------------------------------------------------
+    step = make_train_step(model, donate=False)
+    batch = {
+        "pre": jnp.asarray(np.transpose(x_t.numpy(), (0, 2, 3, 1))),
+        "post": jnp.asarray(np.transpose(y_t.numpy(), (0, 2, 3, 1))),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+
+    # ---- torch replica of reference training_step ------------------------
+    opt_g = torch.optim.Adam(tg.parameters(), lr=4e-4, betas=(0.9, 0.999),
+                             weight_decay=1e-5)
+    opt_d = torch.optim.Adam(td.parameters(), lr=4e-4, betas=(0.9, 0.999),
+                             weight_decay=1e-5)
+    mse = torch.nn.MSELoss()
+
+    # D phase (lightning_model.py:224-236,294-321)
+    opt_d.zero_grad()
+    with torch.no_grad():
+        gen_d = tg(x_t)
+    real, _ = td(y_t)
+    fake, _ = td(gen_d)
+    d_loss = (mse(real, torch.ones_like(real))
+              + mse(fake, torch.zeros_like(fake))) * 0.5
+    d_loss.backward()
+    torch.nn.utils.clip_grad_norm_(td.parameters(), 0.5)
+    opt_d.step()
+
+    # G phase (lightning_model.py:239-250,260-292)
+    opt_g.zero_grad()
+    gen = tg(x_t)
+    g_img = mse(gen, y_t) * 4.0
+    g_perc = ((torch_vgg_feats(gen) - torch_vgg_feats(y_t.detach())) ** 2
+              ).mean() * 6.0
+    adv_logits, _ = td(gen)
+    g_adv = mse(adv_logits, torch.ones_like(adv_logits)) * 0.5
+    g_total = g_img + g_perc + g_adv
+    g_total.backward()
+    torch.nn.utils.clip_grad_norm_(tg.parameters(), 0.5)
+    opt_g.step()
+
+    assert np.isclose(float(metrics["d_total_loss"]),
+                      float(d_loss.detach()), atol=1e-5)
+    assert np.isclose(float(metrics["g_total_loss"]),
+                      float(g_total.detach()), atol=1e-4)
+
+    g_after, stats_after = generator_params_from_torch(tg.state_dict(),
+                                                       resnet_blocks=2)
+    d_after = discriminator_params_from_torch(td.state_dict(), n_layers=2)
+    for ours_tree, ref_tree, tag in (
+            (new_state.g_params, g_after, "G"),
+            (new_state.d_params, d_after, "D")):
+        flat_ref = dict(jax.tree_util.tree_leaves_with_path(
+            jax.tree.map(jnp.asarray, ref_tree)))
+        for path, ours in jax.tree_util.tree_leaves_with_path(ours_tree):
+            # biases feeding InstanceNorm have analytically ~zero gradients
+            # (IN cancels constant shifts); Adam's first-step eps
+            # normalization amplifies fp32 noise there up to ~2*lr.
+            key = jax.tree_util.keystr(path)
+            tol = 1.5e-4 if "kernel" in key else 9e-4
+            np.testing.assert_allclose(
+                np.asarray(ours), np.asarray(flat_ref[path]), atol=tol,
+                err_msg=f"{tag} param mismatch at {key}")
+    # BN running stats advanced TWICE per step in the reference
+    np.testing.assert_allclose(
+        np.asarray(new_state.g_batch_stats["smoother_bn"]["mean"]),
+        stats_after["smoother_bn"]["mean"], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state.g_batch_stats["smoother_bn"]["var"]),
+        stats_after["smoother_bn"]["var"], atol=1e-3)
