@@ -141,6 +141,40 @@ def bench_training(steps: int = 50) -> float:
     return steps * batch_size / dt
 
 
+def bench_fullframe(frames: int = 30) -> float:
+    """The TPU-first one-pass mode (inference.mode=fullframe)."""
+    import jax
+    import jax.numpy as jnp
+
+    from patch_toon_tpu.infer.engine import make_fullframe_fn
+    from patch_toon_tpu.models import GeneratorJ
+
+    h, w, c = 512, 910, 6
+    gen = GeneratorJ(input_channels=c, use_bias=True, dtype=jnp.bfloat16)
+    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 80, c)))
+    fn = make_fullframe_fn(gen, h, w, c, jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    frame_batch = [jnp.asarray(rng.random((h, w, c), np.float32) * 2 - 1)
+                   for _ in range(4)]
+    mask = jnp.ones((h, w, 1), jnp.float32)
+    for i in range(6):
+        np.asarray(fn(g_vars, frame_batch[i % 4], mask))
+    t0 = time.perf_counter()
+    in_flight = []
+    for i in range(frames):
+        o = fn(g_vars, frame_batch[i % 4], mask)
+        try:
+            o.copy_to_host_async()
+        except Exception:
+            pass
+        in_flight.append(o)
+        if len(in_flight) > 4:
+            np.asarray(in_flight.pop(0))
+    for o in in_flight:
+        np.asarray(o)
+    return frames / (time.perf_counter() - t0)
+
+
 def main() -> None:
     fps = bench_inference()
     try:
@@ -149,6 +183,12 @@ def main() -> None:
     except Exception as e:  # secondary metric must not break the bench line
         print(f"[bench] training bench failed: {e}", file=sys.stderr)
         pps = None
+    try:
+        ff = bench_fullframe()
+        print(f"[bench] fullframe mode: {ff:.1f} frames/s", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] fullframe bench failed: {e}", file=sys.stderr)
+        ff = None
     result = {
         "metric": "stylized_512p_frames_per_sec_per_chip",
         "value": round(fps, 3),
@@ -157,6 +197,8 @@ def main() -> None:
     }
     if pps is not None:
         result["training_patches_per_sec"] = round(pps, 1)
+    if ff is not None:
+        result["fullframe_mode_frames_per_sec"] = round(ff, 3)
     print(json.dumps(result))
 
 

@@ -52,6 +52,36 @@ from patch_toon_tpu.train.checkpoints import CheckpointManager, sniff_input_chan
 from patch_toon_tpu.train.model import StyleTransferModel, _resolve_dtype
 
 
+def make_fullframe_fn(generator, h: int, w: int, c: int, dtype) -> Any:
+    """One whole-frame generator pass (the TPU-first fast path).
+
+    The reference's tile decomposition exists because of its per-tile Python
+    loop and GPU memory pressure; a TPU chip can push the entire frame
+    through the fully-convolutional generator at once, eliminating the ~2x
+    overlap redundancy of 30%-overlap tiling. NOTE: instance-norm statistics
+    become per-frame instead of per-80x80-tile, so outputs differ slightly
+    from the reference's tiled semantics — this mode is opt-in
+    (``inference.mode: fullframe``); ``tiled`` is the parity default.
+    """
+    # generator needs H, W divisible by 4 (two stride-2 stages + 2x ups)
+    hp = (h + 3) // 4 * 4
+    wp = (w + 3) // 4 * 4
+
+    def fn(g_vars, frame, mask):
+        x = jnp.pad(frame, ((0, hp - h), (0, wp - w), (0, 0)))
+        out = generator.apply(
+            g_vars, x[None].astype(dtype), train=False
+        )[0, :h, :w].astype(jnp.float32)
+        rgb = frame[:, :, :3]
+        out = rgb * (1.0 - mask) + out * mask
+        out = jnp.clip(out, -1.0, 1.0)
+        return jnp.round(
+            jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)
+        ).astype(jnp.uint8)
+
+    return jax.jit(fn)
+
+
 def make_frame_fn(generator, patch_size: int, bucket: int,
                   h: int, w: int, c: int, dtype) -> Any:
     """Build the jitted one-frame program for a fixed signature."""
@@ -114,6 +144,7 @@ class StyleTransferInference:
         self.cfg = cfg
         inf = cfg.get("inference", {})
         self.debug_mode = bool(inf.get("debug_mode", False))
+        self.mode = str(inf.get("mode", "tiled"))  # tiled (parity) | fullframe
         self.overlap_percent = float(inf.get("overlap_percent", 30.0))
         self.max_tile_batch = int(inf.get("tile_batch", 512))
         self.dtype = _resolve_dtype(inf.get("precision", "bf16")) or jnp.float32
@@ -217,6 +248,14 @@ class StyleTransferInference:
         h, w, c = frame.shape
         if mask is None:
             mask = np.ones((h, w), np.float32)
+        if self.mode == "fullframe":
+            key = ("fullframe", h, w, c)
+            if key not in self._frame_fns:
+                self._frame_fns[key] = make_fullframe_fn(
+                    self.model.generator, h, w, c, self.dtype)
+            out = self._frame_fns[key](
+                self.g_vars, jnp.asarray(frame), jnp.asarray(mask[..., None]))
+            return out, []
         boxes = tile_boxes_from_mask(
             mask, self.patch_size,
             self.overlap_percent if overlap_percent is None else overlap_percent)

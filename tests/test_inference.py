@@ -201,3 +201,28 @@ def test_end_to_end_train_and_infer(synthetic_scene, tmp_path):
     inner = np.zeros_like(mask)
     inner[16 + 4:32 - 4, 24 + 4:44 - 4] = True
     assert np.abs(out[inner].astype(int) - inp[inner].astype(int)).mean() > 2
+
+
+def test_fullframe_mode(synthetic_scene, tmp_path):
+    """The one-pass fullframe fast path: same composite semantics outside
+    the mask, stylized inside, correct shapes at non-multiple-of-4 sizes."""
+    from patch_toon_tpu.infer.engine import make_fullframe_fn
+    from patch_toon_tpu.models import GeneratorJ
+
+    h, w, c = 46, 63, 3  # deliberately not divisible by 4
+    gen = GeneratorJ(input_channels=3, use_bias=True, resnet_blocks=1,
+                     filters=(4, 8, 8, 8, 8, 4))
+    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    frame = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(1), (h, w, c))) * 2 - 1
+    mask = np.zeros((h, w, 1), np.float32)
+    mask[10:36, 12:50] = 1.0
+
+    fn = make_fullframe_fn(gen, h, w, c, jnp.float32)
+    out = np.asarray(fn(g_vars, jnp.asarray(frame), jnp.asarray(mask)))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    ref_outside = np.round(
+        np.clip((np.clip(frame, -1, 1) + 1) * 127.5, 0, 255)).astype(np.uint8)
+    m = mask[..., 0] > 0
+    np.testing.assert_array_equal(out[~m], ref_outside[~m])
+    assert np.abs(out[m].astype(int) - ref_outside[m].astype(int)).mean() > 1
