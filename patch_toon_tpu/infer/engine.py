@@ -224,6 +224,12 @@ class StyleTransferInference:
             state = self.model.load_torch_checkpoint(state, ckpt_path)
             g_params, g_batch_stats = state.g_params, state.g_batch_stats
         self.g_vars = {"params": g_params, "batch_stats": g_batch_stats}
+        # Optional Pallas fused InstanceNorm+activation path. Off by default:
+        # the standalone kernel beats XLA's IN by ~25%, but inside the whole
+        # generator it blocks XLA's cross-op fusion and loses end-to-end
+        # (measured on v5e) — kept as an opt-in knob for future kernels.
+        if bool(self.cfg.get("inference", {}).get("fused_norm", False)):
+            self.model.generator = self.model.generator.clone(fused_norm=True)
         self.logger.info(
             f"Model ready: {ckpt_channels} input channels from {ckpt_path}")
 

@@ -36,6 +36,7 @@ class DiscriminatorN_IN(nn.Module):
     norm_layer: str = "instance_norm"
     use_bias: bool = True
     dtype: Any = None
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(
@@ -62,13 +63,15 @@ class DiscriminatorN_IN(nn.Module):
         for i in range(1, self.n_layers):
             nxt = min(curr * 2, self.num_filters * 8)
             out = ConvBlock(nxt, 4, 2, 1, self.use_bias, norm, "leaky_relu",
-                            dtype=dt, name=f"intermediate_{i - 1}")(out)
+                            dtype=dt, fused_norm=self.fused_norm,
+                            name=f"intermediate_{i - 1}")(out)
             curr = nxt
 
         # pre-output: Conv4x4 s1 p1 -> IN -> LReLU        [discriminator.py:71-79]
         nxt = min(curr * 2, self.num_filters * 8)
         out = ConvBlock(nxt, 4, 1, 1, self.use_bias, norm, "leaky_relu",
-                        dtype=dt, name="pre_output")(out)
+                        dtype=dt, fused_norm=self.fused_norm,
+                        name="pre_output")(out)
 
         # output: Conv4x4 s1 p1 -> 1 channel, no norm/act [discriminator.py:83-90]
         out = torch_conv(1, 4, 1, 1, self.use_bias, dtype=dt, name="output")(out)

@@ -21,6 +21,7 @@ from flax import linen as nn
 from patch_toon_tpu.models.layers import (
     torch_conv,
     ConvBlock,
+    fused_instance_norm_act,
     UpConvBlock,
     conv_kernel_init,
     instance_norm,
@@ -39,17 +40,23 @@ class ResNetBlock(nn.Module):
     norm_layer: Optional[str] = "instance_norm"
     use_bias: bool = False
     dtype: Any = None
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        def norm(z):
+            if self.norm_layer != "instance_norm":
+                return z
+            if self.fused_norm:
+                return fused_instance_norm_act(z, None)
+            return instance_norm(z)
+
         y = nn.relu(x)
         y = torch_conv(self.channels, 3, 1, 1, self.use_bias, dtype=self.dtype, name="conv1")(y)
-        if self.norm_layer == "instance_norm":
-            y = instance_norm(y)
+        y = norm(y)
         y = nn.relu(y)
         y = torch_conv(self.channels, 3, 1, 1, self.use_bias, dtype=self.dtype, name="conv2")(y)
-        if self.norm_layer == "instance_norm":
-            y = instance_norm(y)
+        y = norm(y)
         return x + y
 
 
@@ -71,6 +78,7 @@ class GeneratorJ(nn.Module):
     append_smoothers: bool = True
     input_size: int = 256
     dtype: Any = None
+    fused_norm: bool = False  # inference-only Pallas IN+act fast path
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -81,24 +89,28 @@ class GeneratorJ(nn.Module):
 
         # stem: Conv7x7 s1 p3 -> IN -> LeakyReLU(0.2)    [generator.py:91-94]
         conv0 = ConvBlock(f[0], 7, 1, 3, self.use_bias, norm, "leaky_relu",
-                          dtype=dt, name="initial_conv")(x)
+                          dtype=dt, fused_norm=self.fused_norm,
+                          name="initial_conv")(x)
         # downsamples: Conv3x3 s2 p1 -> IN -> LReLU      [generator.py:97-104]
         conv1 = ConvBlock(f[1], 3, 2, 1, self.use_bias, norm, "leaky_relu",
-                          dtype=dt, name="downsample1")(conv0)
+                          dtype=dt, fused_norm=self.fused_norm,
+                          name="downsample1")(conv0)
         conv2 = ConvBlock(f[2], 3, 2, 1, self.use_bias, norm, "leaky_relu",
-                          dtype=dt, name="downsample2")(conv1)
+                          dtype=dt, fused_norm=self.fused_norm,
+                          name="downsample2")(conv1)
 
         # residual trunk                                  [generator.py:107-110]
         out = conv2
         for i in range(self.resnet_blocks):
             out = ResNetBlock(f[2], norm, self.use_bias, dtype=dt,
+                              fused_norm=self.fused_norm,
                               name=f"resnet_{i}")(out)
 
         # decoder with skip concats                       [generator.py:114-121]
         out = UpConvBlock(f[4], self.use_bias, norm, "relu", dtype=dt,
-                          name="upsample2")(jnp.concatenate([out, conv2], axis=-1))
+                          fused_norm=self.fused_norm, name="upsample2")(jnp.concatenate([out, conv2], axis=-1))
         out = UpConvBlock(f[4], self.use_bias, norm, "relu", dtype=dt,
-                          name="upsample1")(jnp.concatenate([out, conv1], axis=-1))
+                          fused_norm=self.fused_norm, name="upsample1")(jnp.concatenate([out, conv1], axis=-1))
 
         # 7x7 conv over (decoded, stem, raw input)        [generator.py:124-128]
         out = torch_conv(f[5], 7, 1, 3, self.use_bias, dtype=dt, name="conv11")(

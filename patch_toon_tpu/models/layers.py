@@ -40,6 +40,27 @@ def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:
     return jnp.where(x >= 0, x, x * slope)
 
 
+def fused_instance_norm_act(
+    x: jax.Array, act: Optional[str], slope: float = 0.2
+) -> jax.Array:
+    """InstanceNorm + activation via the fused Pallas kernel on TPU.
+
+    Inference-only fast path (pallas_call has no autodiff rule); falls back
+    to the plain ops off-TPU. Numerics match instance_norm + activation to a
+    bf16 ulp (reduction order differs inside the kernel).
+    """
+    if jax.default_backend() == "tpu" and x.ndim == 4:
+        from patch_toon_tpu.ops.pallas_norm import instance_norm_act
+
+        return instance_norm_act(x, act=act, slope=slope)
+    y = instance_norm(x)
+    if act == "leaky_relu":
+        y = leaky_relu(y, slope)
+    elif act == "relu":
+        y = nn.relu(y)
+    return y
+
+
 @functools.lru_cache(maxsize=64)
 def _align_corners_matrix(in_size: int, out_size: int) -> np.ndarray:
     """Interpolation matrix A (out x in): y = A @ x, align_corners=True."""
@@ -125,6 +146,7 @@ class ConvBlock(nn.Module):
     norm: Optional[str] = "instance_norm"
     act: Optional[str] = None  # "leaky_relu" | "relu" | None
     dtype: Any = None
+    fused_norm: bool = False  # inference-only Pallas IN+act kernel
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -138,6 +160,8 @@ class ConvBlock(nn.Module):
             name="conv",
         )(x)
         if self.norm == "instance_norm":
+            if self.fused_norm:
+                return fused_instance_norm_act(y, self.act)
             y = instance_norm(y)
         elif self.norm == "batch_norm":
             raise NotImplementedError(
@@ -161,6 +185,7 @@ class UpConvBlock(nn.Module):
     norm: Optional[str] = "instance_norm"
     act: Optional[str] = "relu"
     dtype: Any = None
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -168,6 +193,8 @@ class UpConvBlock(nn.Module):
         y = torch_conv(self.features, 3, 1, 1, self.use_bias, dtype=self.dtype,
                        name="conv")(y)
         if self.norm == "instance_norm":
+            if self.fused_norm:
+                return fused_instance_norm_act(y, self.act)
             y = instance_norm(y)
         if self.act == "relu":
             y = nn.relu(y)
