@@ -42,10 +42,12 @@ def _channel_items(additional_channels: Optional[Dict[str, Any]]) -> List[Tuple[
     Supports both the dict schema and the back-compat plain-string form
     (reference lightning_model.py:100-115, dataset.py:94-96).
     """
-    items: List[Tuple[str, str, int]] = []
+    items: List[Tuple[str, Any, int]] = []
     for name, cfg in (additional_channels or {}).items():
         if isinstance(cfg, dict):
-            items.append((name, str(cfg["path"]), int(cfg.get("depth", 1))))
+            path = cfg["path"]
+            path = list(path) if isinstance(path, (list, tuple)) else str(path)
+            items.append((name, path, int(cfg.get("depth", 1))))
         else:
             items.append((name, str(cfg), 1))
     return items
@@ -72,27 +74,54 @@ class StyleTransferDataset:
             for name, path, depth in self.channel_items
         }
         self.sampling = sampling
-        self.has_post = dir_post is not None
 
-        names = list_images(dir_pre)
-        if not names:
-            raise FileNotFoundError(f"No images found in {dir_pre}")
+        # Multi-sequence (multi-keyframe / multi-style) training: dir_pre /
+        # dir_post / dir_mask may be lists of scene directories; per-channel
+        # paths may be parallel lists too. No reference equivalent (the
+        # reference trains one scene, config/data/default.yaml) — this is the
+        # batched multi-style capability from BASELINE.json config #5.
+        if isinstance(dir_pre, (list, tuple)):
+            pre_dirs = list(dir_pre)
+            post_dirs = list(dir_post) if dir_post is not None else [None] * len(pre_dirs)
+            mask_dirs = list(dir_mask)
+        else:
+            pre_dirs, post_dirs, mask_dirs = [dir_pre], [dir_post], [dir_mask]
+        if not (len(pre_dirs) == len(post_dirs) == len(mask_dirs)):
+            raise ValueError("dir_pre/dir_post/dir_mask list lengths differ")
+        self.has_post = post_dirs[0] is not None
+
+        def scene_channel_items(scene_idx: int):
+            items = []
+            for name, path, depth in self.channel_items:
+                if isinstance(path, (list, tuple)):
+                    items.append((name, path[scene_idx], depth))
+                else:
+                    items.append((name, path, depth))
+            return items
+
+        work: List[Tuple[str, str, Optional[str], str, list]] = []
+        for si, (dp, dq, dm) in enumerate(zip(pre_dirs, post_dirs, mask_dirs)):
+            scene_names = list_images(dp)
+            if not scene_names:
+                raise FileNotFoundError(f"No images found in {dp}")
+            for name in scene_names:
+                work.append((name, dp, dq, dm, scene_channel_items(si)))
 
         pres, posts, channel_stacks, sizes = [], [], [], []
         centers_per_img: List[np.ndarray] = []
         kept_names: List[str] = []
 
-        for name in names:
+        for name, dp, dq, dm, chan_items in work:
             try:
-                pre = load_image_rgb(find_corresponding_image(dir_pre, name))
+                pre = load_image_rgb(find_corresponding_image(dp, name))
                 post = (
-                    load_image_rgb(find_corresponding_image(dir_post, name))
+                    load_image_rgb(find_corresponding_image(dq, name))
                     if self.has_post else None
                 )
-                mask = load_mask(find_corresponding_image(dir_mask, name))
+                mask = load_mask(find_corresponding_image(dm, name))
                 chans = [
                     load_image_channels(find_corresponding_image(path, name), depth)
-                    for _, path, depth in self.channel_items
+                    for _, path, depth in chan_items
                 ]
             except Exception as e:  # per-item resilience, reference dataset.py:129-207
                 print(f"Skipping {name}: {e}")

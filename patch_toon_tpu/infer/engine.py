@@ -75,9 +75,10 @@ def make_fullframe_fn(generator, h: int, w: int, c: int, dtype) -> Any:
         rgb = frame[:, :, :3]
         out = rgb * (1.0 - mask) + out * mask
         out = jnp.clip(out, -1.0, 1.0)
-        return jnp.round(
+        u8 = jnp.round(
             jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)
         ).astype(jnp.uint8)
+        return u8, out
 
     return jax.jit(fn)
 
@@ -132,9 +133,10 @@ def make_frame_fn(generator, patch_size: int, bucket: int,
         rgb = frame[:, :, :3]
         out = rgb * (1.0 - mask) + out * mask          # generator.py:562-563
         out = jnp.clip(out, -1.0, 1.0)
-        return jnp.round(
+        u8 = jnp.round(
             jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)
         ).astype(jnp.uint8)
+        return u8, out
 
     return jax.jit(frame_fn)
 
@@ -147,6 +149,11 @@ class StyleTransferInference:
         self.mode = str(inf.get("mode", "tiled"))  # tiled (parity) | fullframe
         self.overlap_percent = float(inf.get("overlap_percent", 30.0))
         self.max_tile_batch = int(inf.get("tile_batch", 512))
+        tcfg = inf.get("temporal") or {}
+        self.temporal_enabled = bool(tcfg.get("enabled", False))
+        self.temporal_flow_dir = tcfg.get("flow_dir")
+        self.temporal_depth = int(tcfg.get("depth", 3))
+        self.temporal_format = str(tcfg.get("file_format", "%03d"))
         self.dtype = _resolve_dtype(inf.get("precision", "bf16")) or jnp.float32
         self.patch_size = int(cfg.data.patch_size)
         self.patch_positions: List[Box] = []
@@ -186,6 +193,10 @@ class StyleTransferInference:
             self.additional_channels[name] = {"path": path, "depth": depth}
         self.total_channels = 3 + sum(
             c["depth"] for c in self.additional_channels.values())
+        if self.temporal_enabled:
+            # temporal guide: flow-warped previous stylized frame appended as
+            # the last input channels (no reference equivalent; see README)
+            self.total_channels += self.temporal_depth
 
     def _setup_model(self) -> None:
         ckpt_path = str(self.cfg.paths.checkpoint)
@@ -259,19 +270,19 @@ class StyleTransferInference:
             if key not in self._frame_fns:
                 self._frame_fns[key] = make_fullframe_fn(
                     self.model.generator, h, w, c, self.dtype)
-            out = self._frame_fns[key](
+            u8, out_float = self._frame_fns[key](
                 self.g_vars, jnp.asarray(frame), jnp.asarray(mask[..., None]))
-            return out, []
+            return u8, out_float, []
         boxes = tile_boxes_from_mask(
             mask, self.patch_size,
             self.overlap_percent if overlap_percent is None else overlap_percent)
         bucket = bucket_size(max(1, len(boxes)))
         packed_boxes, weights, _ = pack_boxes(boxes, self.patch_size, bucket)
         fn = self._frame_fn(h, w, c, bucket)
-        out = fn(self.g_vars, jnp.asarray(frame),
-                 jnp.asarray(packed_boxes), jnp.asarray(weights),
-                 jnp.asarray(mask[..., None]))
-        return out, boxes
+        u8, out_float = fn(self.g_vars, jnp.asarray(frame),
+                           jnp.asarray(packed_boxes), jnp.asarray(weights),
+                           jnp.asarray(mask[..., None]))
+        return u8, out_float, boxes
 
     def process_large_image(
         self,
@@ -280,9 +291,9 @@ class StyleTransferInference:
         overlap_percent: Optional[float] = None,
     ) -> np.ndarray:
         """Stylize one frame; returns (H,W,3) uint8."""
-        out, boxes = self._stylize_device(frame, mask, overlap_percent)
+        u8, _, boxes = self._stylize_device(frame, mask, overlap_percent)
         self.patch_positions = boxes
-        return np.asarray(out)
+        return np.asarray(u8)
 
     def _load_frame(self, input_path: str) -> np.ndarray:
         parts = [load_image_rgb(input_path)]
@@ -366,6 +377,15 @@ class StyleTransferInference:
         in_flight: List[Tuple[Any, List[Box], Path]] = []
         writer = FrameWriter(num_threads=2)
 
+        if self.temporal_enabled:
+            self._process_directory_temporal(files, load_one, output_dir,
+                                             writer)
+            failed = writer.flush()
+            writer.close()
+            if failed:
+                self.logger.error(f"{failed} frame writes failed")
+            return
+
         def drain_one():
             out, boxes, save_path = in_flight.pop(0)
             arr = np.asarray(out)
@@ -385,7 +405,7 @@ class StyleTransferInference:
                     futures[nxt] = pool.submit(load_one, nxt)
                 try:
                     frame, mask = futures.pop(input_path).result()
-                    out, boxes = self._stylize_device(frame, mask)
+                    out, _, boxes = self._stylize_device(frame, mask)
                     try:
                         out.copy_to_host_async()
                     except Exception:
@@ -404,3 +424,55 @@ class StyleTransferInference:
         writer.close()
         if failed:
             self.logger.error(f"{failed} frame writes failed")
+
+    def _process_directory_temporal(self, files, load_one, output_dir,
+                                    writer) -> None:
+        """Temporal-guide stylization: each frame's input gains channels
+        holding the flow-warped previous *stylized* frame.
+
+        guide_i = warp(stylized_{i-1}, flow_bwd[i]) where flow_bwd/{i}.npy
+        is the i -> i-1 correspondence written by tools/optical_flow.py
+        (backward direction). Frame 0 bootstraps with its own RGB. The
+        previous output stays on device in [-1, 1]; only the uint8 frame is
+        fetched. Inherently sequential (frame i depends on i-1), so no
+        dispatch pipelining here. Requires a checkpoint trained with the
+        matching temporal channels (see tools/temporal_guide.py).
+        """
+        from tqdm import tqdm
+
+        from patch_toon_tpu.ops.flow import warp_image
+
+        flow_dir = Path(self.temporal_flow_dir) if self.temporal_flow_dir \
+            else None
+        prev_float = None
+        for i, input_path in enumerate(tqdm(files, desc="Temporal frames")):
+            try:
+                frame, mask = load_one(input_path)
+                if prev_float is None or flow_dir is None:
+                    guide = jnp.asarray(frame[:, :, :3])
+                else:
+                    flow_path = flow_dir / (
+                        f"{self.temporal_format % i}.npy")
+                    if flow_path.exists():
+                        flow = jnp.asarray(np.load(str(flow_path)))
+                        guide = warp_image(prev_float, flow)
+                    else:
+                        self.logger.warning(
+                            f"No flow for frame {i} ({flow_path}); using "
+                            f"unwarped previous output")
+                        guide = prev_float
+                guide = guide[..., : self.temporal_depth]
+                full = jnp.concatenate(
+                    [jnp.asarray(frame), guide.astype(jnp.float32)], axis=-1)
+                u8, out_float, boxes = self._stylize_device(full, mask)
+                prev_float = out_float
+                arr = np.asarray(u8)
+                writer.submit(str(output_dir / input_path.name), arr)
+                if self.debug_mode:
+                    self.patch_positions = boxes
+                    self._save_debug_overlay(
+                        arr, str(output_dir / input_path.name))
+            except Exception as e:
+                self.logger.error(f"Failed to process {input_path.name}: {e}")
+                prev_float = None  # restart the temporal chain
+                continue

@@ -125,6 +125,24 @@ def dense_flow(
     return flow
 
 
+@jax.jit
+def warp_image(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Backward-warp an (H, W, C) image by flow (dx, dy), bilinear, clamped.
+
+    Used for the temporal guide: ``warp(stylized[i-1], flow[i-1 -> i])``
+    predicts frame i's stylization from frame i-1's.
+    """
+    h, w, c = img.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + flow[..., 1]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + flow[..., 0]
+    warped = jax.vmap(
+        lambda ch: jax.scipy.ndimage.map_coordinates(
+            ch, [ys, xs], order=1, mode="nearest"),
+        in_axes=-1, out_axes=-1,
+    )(img.astype(jnp.float32))
+    return warped.astype(img.dtype)
+
+
 def masked_flow(img1: jax.Array, img2: jax.Array, mask: jax.Array,
                 **kwargs) -> jax.Array:
     """dense_flow with out-of-mask zeroing (reference optical_flow.py:94-99:

@@ -144,3 +144,30 @@ def test_permutation_sampling_without_replacement(platinum_dirs):
     sampler = ds.make_sampler(8)
     batch2 = sampler(jax.random.PRNGKey(0))
     assert batch2["post"].shape == (8, 32, 32, 3)
+
+
+def test_multi_sequence_dataset(platinum_dirs, reference_path):
+    """Multi-scene (multi-keyframe / multi-style) batched training data."""
+    from patch_toon_tpu.data import StyleTransferDataset
+
+    miku = reference_path / "test_dataset" / "miku_smile_x0.5_train"
+    scenes = [platinum_dirs]
+    if miku.exists():
+        scenes.append(miku)
+    ds = StyleTransferDataset(
+        dir_pre=[str(s / "input") for s in scenes],
+        dir_post=[str(s / "output") for s in scenes],
+        dir_mask=[str(s / "mask") for s in scenes],
+        patch_size=32,
+    )
+    single = StyleTransferDataset(
+        dir_pre=str(platinum_dirs / "input"),
+        dir_post=str(platinum_dirs / "output"),
+        dir_mask=str(platinum_dirs / "mask"),
+        patch_size=32,
+    )
+    assert ds.num_images >= single.num_images
+    if len(scenes) > 1:
+        assert ds.num_images > single.num_images
+    batch = ds.sample_batch(jax.random.PRNGKey(0), 8)
+    assert batch["pre"].shape == (8, 32, 32, 3)
