@@ -60,7 +60,7 @@ def bench_inference(frames: int = 30) -> float:
 
     # warmup / compile + steady-state warm
     for i in range(6):
-        np.asarray(fn(g_vars, frame_batch[i % 4], pb_j, wts_j, mask_j))
+        np.asarray(fn(g_vars, frame_batch[i % 4], pb_j, wts_j, mask_j)[0])
 
     # streaming measurement: FULL uint8 frame readback to host per frame
     # (what a real video pipeline must do), overlapped with compute via
@@ -70,7 +70,7 @@ def bench_inference(frames: int = 30) -> float:
     t0 = time.perf_counter()
     in_flight = []
     for i in range(frames):
-        o = fn(g_vars, frame_batch[i % 4], pb_j, wts_j, mask_j)
+        o, _ = fn(g_vars, frame_batch[i % 4], pb_j, wts_j, mask_j)
         try:
             o.copy_to_host_async()
         except Exception:
@@ -158,11 +158,11 @@ def bench_fullframe(frames: int = 30) -> float:
                    for _ in range(4)]
     mask = jnp.ones((h, w, 1), jnp.float32)
     for i in range(6):
-        np.asarray(fn(g_vars, frame_batch[i % 4], mask))
+        np.asarray(fn(g_vars, frame_batch[i % 4], mask)[0])
     t0 = time.perf_counter()
     in_flight = []
     for i in range(frames):
-        o = fn(g_vars, frame_batch[i % 4], mask)
+        o, _ = fn(g_vars, frame_batch[i % 4], mask)
         try:
             o.copy_to_host_async()
         except Exception:

@@ -83,6 +83,37 @@ def make_fullframe_fn(generator, h: int, w: int, c: int, dtype) -> Any:
     return jax.jit(fn)
 
 
+def make_batched_fullframe_fn(generator, h: int, w: int, c: int, dtype,
+                              mesh=None) -> Any:
+    """Multi-frame fullframe program, frames sharded over the mesh 'data'
+    axis — the pod-scale streaming path (each chip stylizes its own frames;
+    no cross-chip communication needed, pure throughput scaling)."""
+    hp = (h + 3) // 4 * 4
+    wp = (w + 3) // 4 * 4
+
+    def body(g_vars, frames, masks):
+        x = jnp.pad(frames, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        out = generator.apply(
+            g_vars, x.astype(dtype), train=False
+        )[:, :h, :w].astype(jnp.float32)
+        rgb = frames[..., :3]
+        out = rgb * (1.0 - masks) + out * masks
+        out = jnp.clip(out, -1.0, 1.0)
+        u8 = jnp.round(
+            jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)).astype(jnp.uint8)
+        return u8, out
+
+    if mesh is None:
+        return jax.jit(body)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # caller device_puts frames/masks with batch sharding and g_vars
+    # replicated; out_shardings pins the frame-sharded layout
+    b_shard = NamedSharding(mesh, P("data"))
+    return jax.jit(body, out_shardings=(b_shard, b_shard))
+
+
 def make_frame_fn(generator, patch_size: int, bucket: int,
                   h: int, w: int, c: int, dtype) -> Any:
     """Build the jitted one-frame program for a fixed signature."""

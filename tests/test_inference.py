@@ -92,8 +92,9 @@ def test_frame_blend_matches_manual_reference():
     assert len(boxes) > 3
     pb, wts, n = pack_boxes(boxes, ps, bucket_size(len(boxes)))
     fn = make_frame_fn(gen, ps, pb.shape[0], h, w, c, jnp.float32)
-    got = np.asarray(fn(g_vars, jnp.asarray(frame), jnp.asarray(pb),
-                        jnp.asarray(wts), jnp.asarray(mask[..., None])))
+    got, _ = fn(g_vars, jnp.asarray(frame), jnp.asarray(pb),
+                jnp.asarray(wts), jnp.asarray(mask[..., None]))
+    got = np.asarray(got)
 
     # manual replica (reference generator.py:427-563 semantics)
     out = np.zeros((h, w, 3), np.float32)
@@ -219,7 +220,9 @@ def test_fullframe_mode(synthetic_scene, tmp_path):
     mask[10:36, 12:50] = 1.0
 
     fn = make_fullframe_fn(gen, h, w, c, jnp.float32)
-    out = np.asarray(fn(g_vars, jnp.asarray(frame), jnp.asarray(mask)))
+    out_u8, out_float = fn(g_vars, jnp.asarray(frame), jnp.asarray(mask))
+    out = np.asarray(out_u8)
+    assert out_float.shape == (h, w, 3) and out_float.dtype == jnp.float32
     assert out.shape == (h, w, 3) and out.dtype == np.uint8
     ref_outside = np.round(
         np.clip((np.clip(frame, -1, 1) + 1) * 127.5, 0, 255)).astype(np.uint8)

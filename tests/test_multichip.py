@@ -111,3 +111,39 @@ def test_sharded_sampler_layout(reference_path):
     assert batch["pre"].shape == (16, 32, 32, 3)
     assert batch["pre"].sharding.is_equivalent_to(b_shard, 4)
     assert float(jnp.std(batch["pre"])) > 0.01
+
+
+def test_batched_fullframe_inference_on_mesh():
+    """Pod-style streaming: 8 frames sharded over 8 devices must equal
+    per-frame fullframe outputs."""
+    from patch_toon_tpu.infer.engine import (
+        make_batched_fullframe_fn,
+        make_fullframe_fn,
+    )
+    from patch_toon_tpu.models import GeneratorJ
+
+    h, w, c = 24, 36, 3
+    gen = GeneratorJ(input_channels=3, use_bias=True, resnet_blocks=1,
+                     filters=(4, 8, 8, 8, 8, 4))
+    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+
+    frames = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(1), (8, h, w, c))) * 2 - 1
+    masks = np.ones((8, h, w, 1), np.float32)
+
+    mesh = make_mesh(data=8, model=1)
+    batched = make_batched_fullframe_fn(gen, h, w, c, jnp.float32, mesh)
+    with mesh:
+        g_rep = replicate(g_vars, mesh)
+        f_sh = jax.device_put(jnp.asarray(frames), batch_sharding(mesh))
+        m_sh = jax.device_put(jnp.asarray(masks), batch_sharding(mesh))
+        u8, out_float = batched(g_rep, f_sh, m_sh)
+    u8 = np.asarray(u8)
+    assert u8.shape == (8, h, w, 3)
+
+    single = make_fullframe_fn(gen, h, w, c, jnp.float32)
+    for i in range(8):
+        ref_u8, _ = single(g_vars, jnp.asarray(frames[i]),
+                           jnp.asarray(masks[i]))
+        # per-frame IN stats identical; only fp32 batching roundoff differs
+        assert np.abs(u8[i].astype(int) - np.asarray(ref_u8).astype(int)).max() <= 1

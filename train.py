@@ -76,13 +76,44 @@ def train(cfg) -> None:
     print(f"Training complete. Run dir: {run_dir}")
 
 
+def _expand_multirun(overrides):
+    """Hydra-style ``-m``/``--multirun`` sweeps: comma-separated values
+    expand into the cartesian product of runs (config/config.yaml sweep
+    surface parity)."""
+    import itertools
+
+    keys, value_lists, fixed = [], [], []
+    for ov in overrides:
+        if "=" in ov and "," in ov.split("=", 1)[1]:
+            k, v = ov.split("=", 1)
+            keys.append(k)
+            value_lists.append(v.split(","))
+        else:
+            fixed.append(ov)
+    for combo in itertools.product(*value_lists):
+        yield fixed + [f"{k}={v}" for k, v in zip(keys, combo)]
+
+
 def main(argv=None) -> None:
     from patch_toon_tpu.config import compose
 
     argv = sys.argv[1:] if argv is None else argv
     config_dir = Path(__file__).resolve().parent / "config"
-    cfg = compose(config_dir, "config", overrides=argv)
-    train(cfg)
+
+    multirun = False
+    if "-m" in argv or "--multirun" in argv:
+        multirun = True
+        argv = [a for a in argv if a not in ("-m", "--multirun")]
+
+    if multirun:
+        for i, run_overrides in enumerate(_expand_multirun(argv)):
+            print(f"\n===== multirun job {i}: {run_overrides} =====")
+            cfg = compose(config_dir, "config", overrides=run_overrides)
+            cfg.run.dir = str(Path(cfg.run.dir) / f"job_{i}")
+            train(cfg)
+    else:
+        cfg = compose(config_dir, "config", overrides=argv)
+        train(cfg)
 
 
 if __name__ == "__main__":
