@@ -189,14 +189,21 @@ def main() -> None:
     except Exception as e:
         print(f"[bench] fullframe bench failed: {e}", file=sys.stderr)
         ff = None
+    # Comparison bases (see BASELINE.md): the measured reference-equivalent
+    # torch CPU throughput (0.052 frames/s tiled inference; 1.0 patches/s
+    # training at the shipped default config) and the 30 fps north star.
+    REF_FPS = 0.052
+    REF_PPS = 1.0
     result = {
         "metric": "stylized_512p_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(fps / REF_FPS, 1),
+        "vs_northstar_30fps": round(fps / 30.0, 3),
     }
     if pps is not None:
         result["training_patches_per_sec"] = round(pps, 1)
+        result["training_vs_reference"] = round(pps / REF_PPS, 1)
     if ff is not None:
         result["fullframe_mode_frames_per_sec"] = round(ff, 3)
     print(json.dumps(result))
