@@ -61,9 +61,30 @@ def fit(
 
     if mesh is not None:
         state = replicate(state, mesh)
-    sample = dataset.make_sampler(batch_size, mesh)
 
-    train_step = make_train_step(model)
+    # Uniform sampling fuses the patch gather INTO the jitted train step
+    # (one dispatch per step); permutation mode keeps host index bookkeeping
+    # so it samples separately and feeds the batch in.
+    fused = dataset.sampling == "uniform"
+    if fused:
+        from patch_toon_tpu.parallel.mesh import batch_sharding as _bs
+
+        step_fn = make_train_step(
+            model,
+            sampler=lambda r: dataset.sample_batch(r, batch_size),
+            batch_sharding=_bs(mesh) if mesh is not None else None,
+        )
+        sample = None
+    else:
+        sample = dataset.make_sampler(batch_size, mesh)
+        step_fn = make_train_step(model)
+
+    # jitted eval-mode forward + standalone sampler for image logging
+    eval_forward = jax.jit(
+        lambda params, stats, x: model.generator.apply(
+            {"params": params, "batch_stats": stats},
+            x.astype(model.dtype or jnp.float32), train=False))
+    log_sampler = jax.jit(lambda r: dataset.sample_batch(r, batch_size))
 
     ckpt = CheckpointManager(
         run_dir / "checkpoints",
@@ -79,6 +100,9 @@ def fit(
     channel_depths = [d for _, _, d in dataset.channel_items]
 
     steps_per_epoch = dataset.steps_per_epoch(batch_size)
+    max_steps = tc.get("max_steps")  # optional global step cap (smoke runs)
+    if max_steps:
+        steps_per_epoch = min(steps_per_epoch, int(max_steps))
     best_score = float("inf")
     epochs_without_improvement = 0
     global_step = int(state.step)
@@ -99,27 +123,35 @@ def fit(
         t0 = time.perf_counter()
         for _ in range(steps_per_epoch):
             rng, sk, tk = jax.random.split(rng, 3)
-            batch = sample(sk)
-            state, metrics = train_step(state, batch, tk)
+            if fused:
+                state, metrics = step_fn(state, tk)
+            else:
+                batch = sample(sk)
+                state, metrics = step_fn(state, batch, tk)
             global_step += 1
 
             if global_step % log_every == 0:
-                host = {k: float(v) for k, v in metrics.items()}
+                # single fused transfer: per-scalar fetches each pay a full
+                # host<->device round trip (expensive over remote transports)
+                names = list(metrics)
+                vals = np.asarray(jnp.stack([metrics[k] for k in names]))
+                host = dict(zip(names, vals.astype(float).tolist()))
                 epoch_losses.append(host["g_total_loss"])
                 logger.log_scalars(host, global_step)
             else:
                 epoch_losses.append(metrics["g_total_loss"])
 
             if global_step % image_log_freq == 0:
-                x = dataset.model_input(batch)
-                generated = model.generator.apply(
-                    {"params": state.g_params,
-                     "batch_stats": state.g_batch_stats},
-                    x.astype(model.dtype or jnp.float32), train=False)
+                log_batch = batch if not fused else log_sampler(sk)
+                x = dataset.model_input(log_batch)
+                generated = eval_forward(
+                    state.g_params, state.g_batch_stats, x)
                 grid = build_comparison_grid(
-                    np.asarray(batch["pre"]), np.asarray(generated, np.float32),
-                    np.asarray(batch["post"]),
-                    np.asarray(batch["channels"]) if "channels" in batch else None,
+                    np.asarray(log_batch["pre"]),
+                    np.asarray(generated, np.float32),
+                    np.asarray(log_batch["post"]),
+                    np.asarray(log_batch["channels"])
+                    if "channels" in log_batch else None,
                     channel_depths,
                 )
                 logger.log_image("training/comparison_grid", grid, global_step)

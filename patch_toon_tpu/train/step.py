@@ -38,8 +38,18 @@ Metrics = Dict[str, jax.Array]
 def make_train_step(
     model: "Any",  # StyleTransferModel
     donate: bool = True,
-) -> Callable[[GANTrainState, Dict[str, jax.Array], jax.Array],
-              Tuple[GANTrainState, Metrics]]:
+    sampler: Optional[Callable[[jax.Array], Dict[str, jax.Array]]] = None,
+    batch_sharding: Optional[Any] = None,
+) -> Callable[..., Tuple[GANTrainState, Metrics]]:
+    """Build the jitted GAN step.
+
+    Without ``sampler`` the step signature is (state, batch, rng). With
+    ``sampler`` (the device-side patch gather), sampling fuses INTO the same
+    compiled program — signature (state, rng) — so each optimization step is
+    exactly one dispatch (one host->device round-trip through any transport).
+    ``batch_sharding`` optionally pins the sampled batch's layout (the data
+    mesh axis) via a sharding constraint.
+    """
     tc = model.training_config
     rec_crit = get_criterion(tc["reconstruction_criterion"])
     adv_crit = get_criterion(tc["adversarial_criterion"])
@@ -162,4 +172,16 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    if sampler is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def fused_step(state: GANTrainState, rng: jax.Array):
+        rng_sample, rng_step = jax.random.split(rng)
+        batch = sampler(rng_sample)
+        if batch_sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
+                batch)
+        return train_step(state, batch, rng_step)
+
+    return jax.jit(fused_step, donate_argnums=(0,) if donate else ())
