@@ -176,6 +176,9 @@ def bench_fullframe(frames: int = 30) -> float:
 
 
 def main() -> None:
+    from patch_toon_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     fps = bench_inference()
     try:
         pps = bench_training()

@@ -28,6 +28,10 @@ def main(argv=None) -> None:
 
     import jax
 
+    from patch_toon_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if not bool(cfg.inference.get("use_gpu", True)):
         jax.config.update("jax_platforms", "cpu")
 

@@ -23,6 +23,10 @@ from pathlib import Path
 def train(cfg) -> None:
     import jax
 
+    from patch_toon_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     accelerator = str(cfg.training.get("accelerator", "auto"))
     if accelerator == "cpu":
         jax.config.update("jax_platforms", "cpu")
