@@ -27,10 +27,11 @@ def bench_inference(frames: int = 30) -> float:
     import jax
     import jax.numpy as jnp
 
-    from patch_toon_tpu.infer.engine import make_frame_fn
+    from patch_toon_tpu.infer.engine import make_multiframe_fn
     from patch_toon_tpu.infer.tiling import (
         bucket_size,
-        pack_boxes,
+        frames_per_dispatch,
+        pack_boxes_multi,
         tile_boxes_from_mask,
     )
     from patch_toon_tpu.models import GeneratorJ
@@ -46,17 +47,19 @@ def bench_inference(frames: int = 30) -> float:
 
     mask = np.ones((h, w), np.float32)
     boxes = tile_boxes_from_mask(mask, ps, 30.0)
-    bucket = bucket_size(len(boxes))
-    pb, wts, _ = pack_boxes(boxes, ps, bucket)
-    fn = make_frame_fn(gen, ps, bucket, h, w, c, jnp.bfloat16)
+    # the engine's streaming path co-batches frames to fill the pow2 bucket
+    fpd = frames_per_dispatch(len(boxes))
+    bucket = bucket_size(fpd * len(boxes))
+    fb, wts, _ = pack_boxes_multi([boxes] * fpd, ps, bucket)
+    fn = make_multiframe_fn(gen, ps, bucket, fpd, h, w, c, jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     frame_batch = [
-        jnp.asarray(rng.random((h, w, c), np.float32) * 2 - 1)
+        jnp.asarray(rng.random((fpd, h, w, c), np.float32) * 2 - 1)
         for _ in range(4)
     ]
-    pb_j, wts_j = jnp.asarray(pb), jnp.asarray(wts)
-    mask_j = jnp.asarray(mask[..., None])
+    pb_j, wts_j = jnp.asarray(fb), jnp.asarray(wts)
+    mask_j = jnp.asarray(np.stack([mask] * fpd))[..., None]
 
     # warmup / compile + steady-state warm
     for i in range(6):
@@ -67,23 +70,26 @@ def bench_inference(frames: int = 30) -> float:
     # async D2H copies and a bounded pipeline depth. Full-array fetches
     # cannot complete before execution, unlike block_until_ready which the
     # remote-tunnel backend resolves early.
+    dispatches = max(1, frames // fpd)
     t0 = time.perf_counter()
     in_flight = []
-    for i in range(frames):
+    for i in range(dispatches):
         o, _ = fn(g_vars, frame_batch[i % 4], pb_j, wts_j, mask_j)
         try:
             o.copy_to_host_async()
         except Exception:
             pass
         in_flight.append(o)
-        if len(in_flight) > 4:
+        if len(in_flight) > 3:
             np.asarray(in_flight.pop(0))
     for o in in_flight:
         np.asarray(o)
     dt = time.perf_counter() - t0
-    print(f"[bench] inference: {len(boxes)} tiles/frame, bucket {bucket}, "
-          f"{frames} frames in {dt:.3f}s", file=sys.stderr)
-    return frames / dt
+    n_frames = dispatches * fpd
+    print(f"[bench] inference: {len(boxes)} tiles/frame, "
+          f"{fpd} frames/dispatch, bucket {bucket}, "
+          f"{n_frames} frames in {dt:.3f}s", file=sys.stderr)
+    return n_frames / dt
 
 
 def bench_training(steps: int = 50) -> float:

@@ -44,6 +44,7 @@ from patch_toon_tpu.data.io import (
 from patch_toon_tpu.infer.tiling import (
     Box,
     bucket_size,
+    frames_per_dispatch,
     pack_boxes,
     tile_boxes_from_mask,
 )
@@ -170,6 +171,74 @@ def make_frame_fn(generator, patch_size: int, bucket: int,
         return u8, out
 
     return jax.jit(frame_fn)
+
+
+def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,
+                       h: int, w: int, c: int, dtype) -> Any:
+    """Several frames' tiles in ONE generator batch (tiled semantics kept).
+
+    Co-batching frames fills the pow2 tile bucket (see
+    tiling.frames_per_dispatch) — e.g. 3x170-tile 512p frames run at ~43
+    eq-frames/s vs ~33 single-frame on a v5e chip. Per-tile math is identical
+    to make_frame_fn; only the batching changes.
+    """
+    ps = patch_size
+
+    def fn(g_vars, frames, fboxes, weights, masks):
+        # frames (F,H,W,C); fboxes (B,5) [f,y0,y1,x0,x1]; masks (F,H,W,1)
+        # Frames are flattened along H so the gather/scatter stay 3D —
+        # dynamic slices on a 4D canvas cost ~2x per scan iteration.
+        hp2 = h + 2 * ps
+        fpad = jnp.pad(frames, ((0, 0), (ps, ps), (ps, ps), (0, 0))
+                       ).reshape(n_frames * hp2, w + 2 * ps, c)
+
+        def gather(box):
+            f, y0, y1, x0, x1 = box[0], box[1], box[2], box[3], box[4]
+            ph, pw = y1 - y0, x1 - x0
+            hoff, woff = (ps - ph) // 2, (ps - pw) // 2
+            tile = jax.lax.dynamic_slice(
+                fpad, (f * hp2 + ps + y0 - hoff, ps + x0 - woff, 0),
+                (ps, ps, c))
+            r = jnp.arange(ps)
+            rv = (r >= hoff) & (r < hoff + ph)
+            cv = (r >= woff) & (r < woff + pw)
+            return tile * rv[:, None, None] * cv[None, :, None]
+
+        tiles = jax.vmap(gather)(fboxes)
+        gen = generator.apply(
+            g_vars, tiles.astype(dtype), train=False).astype(jnp.float32)
+
+        hp1 = h + ps
+        canvas = jnp.zeros((n_frames * hp1, w + ps, 3), jnp.float32)
+        wcanvas = jnp.zeros((n_frames * hp1, w + ps, 1), jnp.float32)
+
+        def body(carry, inp):
+            cv_, wv_ = carry
+            tile, weight, box = inp
+            y0 = box[0] * hp1 + box[1]
+            x0 = box[3]
+            contrib = tile * weight[..., None]
+            cur = jax.lax.dynamic_slice(cv_, (y0, x0, 0), (ps, ps, 3))
+            cv_ = jax.lax.dynamic_update_slice(cv_, cur + contrib, (y0, x0, 0))
+            curw = jax.lax.dynamic_slice(wv_, (y0, x0, 0), (ps, ps, 1))
+            wv_ = jax.lax.dynamic_update_slice(
+                wv_, curw + weight[..., None], (y0, x0, 0))
+            return (cv_, wv_), None
+
+        (canvas, wcanvas), _ = jax.lax.scan(
+            body, (canvas, wcanvas), (gen, weights, fboxes))
+
+        out = canvas.reshape(n_frames, hp1, w + ps, 3)[:, :h, :w]
+        wsum = wcanvas.reshape(n_frames, hp1, w + ps, 1)[:, :h, :w]
+        out = out / jnp.where(wsum > 1e-8, wsum, 1.0)
+        rgb = frames[..., :3]
+        out = rgb * (1.0 - masks) + out * masks
+        out = jnp.clip(out, -1.0, 1.0)
+        u8 = jnp.round(
+            jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)).astype(jnp.uint8)
+        return u8, out
+
+    return jax.jit(fn)
 
 
 class StyleTransferInference:
@@ -418,14 +487,42 @@ class StyleTransferInference:
             return
 
         def drain_one():
-            out, boxes, save_path = in_flight.pop(0)
-            arr = np.asarray(out)
-            writer.submit(str(save_path), arr)
-            if self.debug_mode:
-                self.patch_positions = boxes
-                self._save_debug_overlay(arr, str(save_path))
+            out, group_boxes, save_paths = in_flight.pop(0)
+            arr = np.asarray(out)  # (F, H, W, 3)
+            for k, save_path in enumerate(save_paths):
+                writer.submit(str(save_path), arr[k])
+                if self.debug_mode:
+                    self.patch_positions = group_boxes[k]
+                    self._save_debug_overlay(arr[k], str(save_path))
 
-        PREFETCH = 4  # bound decoded-frame memory to O(PREFETCH)
+        def dispatch_group(group):
+            frames = [g[0] for g in group]
+            masks = [g[1] for g in group]
+            group_boxes = [g[2] for g in group]
+            paths = [output_dir / g[3].name for g in group]
+            if len(group) == 1:
+                u8, _, _ = self._stylize_device(frames[0], masks[0])
+                out = u8[None]
+            else:
+                out = self._stylize_group(frames, masks, group_boxes)
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            in_flight.append((out, group_boxes, paths))
+            if len(in_flight) > 2:
+                drain_one()
+
+        # frames-per-dispatch: co-batch frames so the pow2 tile bucket stays
+        # full (tiling.frames_per_dispatch); 'auto' decides from frame 0
+        fpd_cfg = self.cfg.get("inference", {}).get("frames_per_dispatch",
+                                                    "auto")
+        group_size = None if fpd_cfg == "auto" else max(1, int(fpd_cfg))
+        if self.mode == "fullframe":
+            group_size = 1  # fullframe is already one whole-frame pass
+
+        PREFETCH = 6  # bound decoded-frame memory to O(PREFETCH)
+        group = []
         with ThreadPoolExecutor(max_workers=2) as pool:
             futures = {}
             for p in files[:PREFETCH]:
@@ -436,25 +533,52 @@ class StyleTransferInference:
                     futures[nxt] = pool.submit(load_one, nxt)
                 try:
                     frame, mask = futures.pop(input_path).result()
-                    out, _, boxes = self._stylize_device(frame, mask)
-                    try:
-                        out.copy_to_host_async()
-                    except Exception:
-                        pass
-                    in_flight.append(
-                        (out, boxes, output_dir / input_path.name))
-                    if len(in_flight) > 2:
-                        drain_one()
+                    eff_mask = mask if mask is not None else np.ones(
+                        frame.shape[:2], np.float32)
+                    boxes = tile_boxes_from_mask(
+                        eff_mask, self.patch_size, self.overlap_percent)
+                    if group_size is None:
+                        group_size = frames_per_dispatch(max(1, len(boxes)))
+                        self.logger.info(
+                            f"Co-batching {group_size} frames/dispatch "
+                            f"(~{len(boxes)} tiles/frame)")
+                    group.append((frame, eff_mask, boxes, input_path))
+                    if len(group) >= group_size:
+                        dispatch_group(group)
+                        group = []
                 except Exception as e:
                     self.logger.error(
                         f"Failed to process {input_path.name}: {e}")
                     continue
+            if group:
+                dispatch_group(group)
             while in_flight:
                 drain_one()
         failed = writer.flush()
         writer.close()
         if failed:
             self.logger.error(f"{failed} frame writes failed")
+
+    def _stylize_group(self, frames, masks, group_boxes):
+        """Dispatch a co-batched group through the multiframe tiled program."""
+        from patch_toon_tpu.infer.tiling import pack_boxes_multi
+
+        f = len(frames)
+        h, w, c = frames[0].shape
+        total = sum(len(b) for b in group_boxes)
+        bucket = bucket_size(max(1, total))
+        fboxes, weights, _ = pack_boxes_multi(group_boxes, self.patch_size,
+                                              bucket)
+        key = ("multi", f, h, w, c, bucket)
+        if key not in self._frame_fns:
+            self._frame_fns[key] = make_multiframe_fn(
+                self.model.generator, self.patch_size, bucket, f, h, w, c,
+                self.dtype)
+        u8, _ = self._frame_fns[key](
+            self.g_vars, jnp.asarray(np.stack(frames)),
+            jnp.asarray(fboxes), jnp.asarray(weights),
+            jnp.asarray(np.stack(masks))[..., None])
+        return u8
 
     def _process_directory_temporal(self, files, load_one, output_dir,
                                     writer) -> None:

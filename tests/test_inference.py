@@ -229,3 +229,88 @@ def test_fullframe_mode(synthetic_scene, tmp_path):
     m = mask[..., 0] > 0
     np.testing.assert_array_equal(out[~m], ref_outside[~m])
     assert np.abs(out[m].astype(int) - ref_outside[m].astype(int)).mean() > 1
+
+
+def test_multiframe_matches_single_frame():
+    """The co-batched multiframe program must produce identical frames to
+    the single-frame tiled program."""
+    from patch_toon_tpu.infer.engine import make_frame_fn, make_multiframe_fn
+    from patch_toon_tpu.infer.tiling import pack_boxes_multi
+    from patch_toon_tpu.models import GeneratorJ
+
+    ps, h, w, c = 16, 40, 56, 3
+    gen = GeneratorJ(input_channels=3, use_bias=True, resnet_blocks=1,
+                     filters=(4, 8, 8, 8, 8, 4))
+    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, ps, ps, 3)))
+
+    rng = np.random.default_rng(2)
+    frames = [rng.random((h, w, c)).astype(np.float32) * 2 - 1
+              for _ in range(3)]
+    mask = np.zeros((h, w), np.float32)
+    mask[6:34, 8:50] = 1.0
+    boxes = tile_boxes_from_mask(mask, ps, 30.0)
+    group_boxes = [boxes] * 3
+
+    total = 3 * len(boxes)
+    mbucket = bucket_size(total)
+    fb, wts, _ = pack_boxes_multi(group_boxes, ps, mbucket)
+    mfn = make_multiframe_fn(gen, ps, mbucket, 3, h, w, c, jnp.float32)
+    got_u8, got_f = mfn(g_vars, jnp.asarray(np.stack(frames)),
+                        jnp.asarray(fb), jnp.asarray(wts),
+                        jnp.asarray(np.stack([mask] * 3))[..., None])
+    got_u8 = np.asarray(got_u8)
+
+    sbucket = bucket_size(len(boxes))
+    pb, swts, _ = pack_boxes(boxes, ps, sbucket)
+    sfn = make_frame_fn(gen, ps, sbucket, h, w, c, jnp.float32)
+    for k in range(3):
+        ref_u8, _ = sfn(g_vars, jnp.asarray(frames[k]), jnp.asarray(pb),
+                        jnp.asarray(swts), jnp.asarray(mask[..., None]))
+        assert np.abs(got_u8[k].astype(int)
+                      - np.asarray(ref_u8).astype(int)).max() <= 1
+
+
+def test_engine_groups_frames(synthetic_scene, tmp_path):
+    """process_directory with frames_per_dispatch=2 must equal =1 output."""
+    import train as train_entry
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    run_dir = tmp_path / "run"
+    base = synthetic_scene
+    cfg = compose(root / "config", "config", overrides=[
+        f"data.dir_pre={base}/train/input",
+        f"data.dir_post={base}/train/output",
+        f"data.dir_mask={base}/train/mask",
+        "data.patch_size=16", "data.additional_channels={}",
+        "training.batch_size=16", "training.max_epochs=1",
+        "+training.max_steps=5",
+        "training.early_stopping=false", "training.image_log_freq=1000",
+        f"training.output_dir={tmp_path}/out", f"run.dir={run_dir}",
+        "model.generator.args.resnet_blocks=1",
+        "model.generator.args.filters=[4,8,8,8,8,4]",
+        "model.discriminator.args.num_filters=4",
+    ])
+    train_entry.train(cfg)
+
+    outs = {}
+    for fpd in (1, 2):
+        icfg = compose(root / "config", "inference", overrides=[
+            f"paths.checkpoint={run_dir}/checkpoints/last",
+            f"paths.input_dir={base}/gen/input",
+            f"paths.mask_dir={base}/gen/mask",
+            f"paths.output_dir={base}/gen/stylized_fpd{fpd}",
+            "paths.additional_channels={}",
+            "data.patch_size=16", "inference.use_gpu=false",
+            "inference.precision=32",
+            f"+inference.frames_per_dispatch={fpd}",
+            "model.generator.args.resnet_blocks=1",
+            "model.generator.args.filters=[4,8,8,8,8,4]",
+        ])
+        StyleTransferInference(icfg).process_directory()
+        outs[fpd] = [np.asarray(Image.open(p)) for p in
+                     sorted((base / "gen" / f"stylized_fpd{fpd}").glob("*.png"))]
+    assert len(outs[1]) == len(outs[2]) == 2
+    for a, b in zip(outs[1], outs[2]):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
