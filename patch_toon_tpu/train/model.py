@@ -83,6 +83,15 @@ class StyleTransferModel:
         validate_additional_channels(self.additional_channels)
         self.dtype = _resolve_dtype(self.training_config.get("precision", 32))
 
+        # fail fast on unknown criteria (the reference defers to getattr(nn,·)
+        # at construction too, lightning_model.py:48-54)
+        from patch_toon_tpu.train.losses import get_criterion
+
+        get_criterion(self.training_config.get("reconstruction_criterion",
+                                               "L1Loss"))
+        get_criterion(self.training_config.get("adversarial_criterion",
+                                               "MSELoss"))
+
         # "auto" input-channel resolution (lightning_model.py:128-157)
         g_args = dict(generator_config.get("args", {}))
         if g_args.get("input_channels") == "auto":
