@@ -76,7 +76,8 @@ def train(cfg) -> None:
 
     fit(model, dataset, run_dir=str(run_dir), mesh=mesh,
         max_epochs=int(cfg.training.get("max_epochs", 50)),
-        resume_from=cfg.training.get("resume_from"))
+        resume_from=cfg.training.get("resume_from"),
+        seed=int(cfg.training.get("seed", 0)))
     print(f"Training complete. Run dir: {run_dir}")
 
 
