@@ -49,7 +49,7 @@ from patch_toon_tpu.infer.tiling import (
     tile_boxes_from_mask,
 )
 from patch_toon_tpu.ops.masks import erode_full_support
-from patch_toon_tpu.train.checkpoints import CheckpointManager, sniff_input_channels
+from patch_toon_tpu.train.checkpoints import sniff_input_channels
 from patch_toon_tpu.train.model import StyleTransferModel, _resolve_dtype
 
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from patch_toon_tpu.models.layers import torch_conv, ConvBlock

@@ -19,14 +19,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from patch_toon_tpu.models.layers import (
-    torch_conv,
     ConvBlock,
-    fused_instance_norm_act,
     UpConvBlock,
-    conv_kernel_init,
+    fused_instance_norm_act,
     instance_norm,
-    leaky_relu,
-    upsample2x_bilinear_align_corners,
+    torch_conv,
 )
 
 

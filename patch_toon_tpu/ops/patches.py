@@ -15,8 +15,6 @@ Crop semantics replicate ``_cut_patch`` exactly, including its quirks:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
