@@ -306,6 +306,23 @@ class StyleTransferDataset:
             out_shardings=jax.tree.map(
                 lambda _: batch_sharding(mesh), struct))
 
+    def save_debug_batch(self, batch: Dict[str, jax.Array], path: str,
+                         max_items: int = 8) -> None:
+        """Save a patch-batch visualization grid (headless equivalent of the
+        reference's interactive ``_show_debug_image``, dataset.py:60-83)."""
+        from patch_toon_tpu.train.logging import build_comparison_grid
+        from patch_toon_tpu.data.io import save_image_uint8, to_uint8
+
+        grid = build_comparison_grid(
+            np.asarray(batch["pre"]),
+            np.asarray(batch.get("post", batch["pre"])),
+            np.asarray(batch.get("post", batch["pre"])),
+            np.asarray(batch["channels"]) if "channels" in batch else None,
+            [d for _, _, d in self.channel_items],
+            max_images=max_items,
+        )
+        save_image_uint8((np.clip(grid, 0, 1) * 255).astype(np.uint8), path)
+
     def model_input(self, batch: Dict[str, jax.Array]) -> jax.Array:
         """Concat RGB + guide channels (reference lightning_model.py:211-221)."""
         if "channels" in batch:

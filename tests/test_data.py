@@ -171,3 +171,19 @@ def test_multi_sequence_dataset(platinum_dirs, reference_path):
         assert ds.num_images > single.num_images
     batch = ds.sample_batch(jax.random.PRNGKey(0), 8)
     assert batch["pre"].shape == (8, 32, 32, 3)
+
+
+def test_save_debug_batch(platinum_dirs, tmp_path):
+    from patch_toon_tpu.data import StyleTransferDataset
+    from PIL import Image
+
+    ds = StyleTransferDataset(
+        dir_pre=str(platinum_dirs / "input"),
+        dir_post=str(platinum_dirs / "output"),
+        dir_mask=str(platinum_dirs / "mask"),
+        patch_size=32,
+    )
+    batch = ds.sample_batch(jax.random.PRNGKey(0), 4)
+    ds.save_debug_batch(batch, str(tmp_path / "debug.png"))
+    img = np.asarray(Image.open(tmp_path / "debug.png"))
+    assert img.ndim == 3 and img.shape[0] > 32
