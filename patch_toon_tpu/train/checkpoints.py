@@ -47,7 +47,13 @@ class CheckpointManager:
         self.keep_top_k = keep_top_k
         self.meta = meta or {}
         self._ckptr = ocp.StandardCheckpointer()
+        # Rebuild retention scores from meta.json sidecars so top-k pruning
+        # keeps working across resume_from restarts (pre-resume epochs count).
         self._scores: Dict[str, float] = {}
+        for path in sorted(self.directory.glob("epoch_*")):
+            meta = self.read_meta(str(path))
+            if "g_total_loss" in meta:
+                self._scores[path.name] = float(meta["g_total_loss"])
 
     def _write(self, name: str, state: GANTrainState,
                extra_meta: Dict[str, Any]) -> Path:
@@ -67,7 +73,7 @@ class CheckpointManager:
         name = f"epoch_{epoch:04d}"
         self._write(name, state, extra)
         self._scores[name] = float(score)
-        if len(self._scores) > self.keep_top_k:
+        while len(self._scores) > self.keep_top_k:
             worst = max(self._scores, key=self._scores.get)
             self._scores.pop(worst)
             shutil.rmtree(self.directory / worst, ignore_errors=True)
@@ -123,9 +129,16 @@ def sniff_input_channels(ckpt_path: str) -> Optional[int]:
         if "input_channels" in meta:
             return int(meta["input_channels"])
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(p.absolute())
-        kernel = restored["g_params"]["initial_conv"]["conv"]["kernel"]
-        return int(np.asarray(kernel).shape[2])  # HWIO -> I
+        try:
+            # Shape-only metadata read: no array data leaves disk.
+            md = ckptr.metadata(p.absolute())
+            tree = getattr(md, "item_metadata", md)
+            kernel = tree["g_params"]["initial_conv"]["conv"]["kernel"]
+            return int(kernel.shape[2])  # HWIO -> I
+        except Exception:
+            restored = ckptr.restore(p.absolute())
+            kernel = restored["g_params"]["initial_conv"]["conv"]["kernel"]
+            return int(np.asarray(kernel).shape[2])
     # torch .ckpt
     import torch
 

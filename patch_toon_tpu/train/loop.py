@@ -118,8 +118,13 @@ def fit(
     if profile_dir:
         jax.profiler.start_trace(str(profile_dir))
 
+    # reference LearningRateMonitor scalar (train.py:34-36) — constant lr here
+    lr = float(tc.get("learning_rate", tc.get("lr", 0.0)) or 0.0)
+
     for epoch in range(max_epochs):
-        epoch_losses = []
+        # device-side running sum: one scalar D2H fetch per epoch instead of
+        # a burst of per-step fetches at epoch end (slow over the tunnel)
+        epoch_loss_sum = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(steps_per_epoch):
             rng, sk, tk = jax.random.split(rng, 3)
@@ -130,16 +135,15 @@ def fit(
                 state, metrics = step_fn(state, batch, tk)
             global_step += 1
 
+            epoch_loss_sum = epoch_loss_sum + metrics["g_total_loss"]
             if global_step % log_every == 0:
                 # single fused transfer: per-scalar fetches each pay a full
                 # host<->device round trip (expensive over remote transports)
                 names = list(metrics)
                 vals = np.asarray(jnp.stack([metrics[k] for k in names]))
                 host = dict(zip(names, vals.astype(float).tolist()))
-                epoch_losses.append(host["g_total_loss"])
+                host["lr-Adam"] = lr
                 logger.log_scalars(host, global_step)
-            else:
-                epoch_losses.append(metrics["g_total_loss"])
 
             if global_step % image_log_freq == 0:
                 log_batch = batch if not fused else log_sampler(sk)
@@ -162,8 +166,7 @@ def fit(
             profile_dir = None
             print(f"Profiler trace of epoch 0 written to {tc['profile_dir']}")
 
-        mean_loss = float(jnp.mean(jnp.asarray(
-            [jnp.asarray(v) for v in epoch_losses])))
+        mean_loss = float(np.asarray(epoch_loss_sum)) / max(1, steps_per_epoch)
         dt = time.perf_counter() - t0
         pps = steps_per_epoch * batch_size / dt
         if progress:

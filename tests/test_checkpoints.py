@@ -53,6 +53,25 @@ def test_topk_retention_and_last(tiny_model, tmp_path):
     assert meta["epoch"] == 4
 
 
+def test_topk_retention_survives_restart(tiny_model, tmp_path):
+    """A new manager over an existing dir rebuilds scores from meta.json,
+    so pre-restart epochs keep participating in top-k pruning."""
+    state = tiny_model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    mgr = CheckpointManager(tmp_path / "cr", keep_top_k=3)
+    for epoch, score in enumerate([5.0, 3.0, 4.0]):
+        mgr.save(state, epoch, score)
+
+    # simulate a resume: fresh manager instance over the same directory
+    mgr2 = CheckpointManager(tmp_path / "cr", keep_top_k=3)
+    assert mgr2._scores == {"epoch_0000": 5.0, "epoch_0001": 3.0,
+                            "epoch_0002": 4.0}
+    mgr2.save(state, 3, 1.0)  # should evict the worst PRE-resume epoch (5.0)
+    mgr2.save(state, 4, 2.0)  # should evict the next worst (4.0)
+    epochs = sorted(p.name for p in (tmp_path / "cr").iterdir()
+                    if p.name.startswith("epoch"))
+    assert epochs == ["epoch_0001", "epoch_0003", "epoch_0004"]
+
+
 def test_resume_roundtrip(tiny_model, tmp_path):
     state = tiny_model.init_state(jax.random.PRNGKey(0), patch_size=16)
     step = make_train_step(tiny_model, donate=False)
