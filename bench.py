@@ -23,14 +23,27 @@ import time
 import numpy as np
 
 
-def bench_inference(frames: int = 30) -> float:
+def bench_inference(frames: int = 30) -> dict:
+    """Tiled (reference-parity) mode: streaming AND compute-only rates.
+
+    - streaming: full uint8 frame readback per frame, async-overlapped —
+      what a real video pipeline pays. Through the remote tunnel this is
+      transport-gated and can vary 5-10x with congestion (measured 15-170
+      MB/s on the same day), so it is reported best-of-3 windows.
+    - compute_only: dispatch-difference timing (T(2N)-T(N) queued dispatches,
+      one final fetch) — pure device throughput, transport-free.
+
+    Both are measured at frames-per-dispatch 1 and 3; co-batching 3 frames
+    fills the pow2 tile bucket (510/512 vs 170/256 = 34% padding) and is
+    ~27% faster compute, but its 3x-larger readback granularity can lose
+    when the transport is congested.
+    """
     import jax
     import jax.numpy as jnp
 
     from patch_toon_tpu.infer.engine import make_multiframe_fn
     from patch_toon_tpu.infer.tiling import (
         bucket_size,
-        frames_per_dispatch,
         pack_boxes_multi,
         tile_boxes_from_mask,
     )
@@ -47,56 +60,68 @@ def bench_inference(frames: int = 30) -> float:
 
     mask = np.ones((h, w), np.float32)
     boxes = tile_boxes_from_mask(mask, ps, 30.0)
-    # Single-frame dispatches: the engine co-batches frames on real hardware
-    # (multiframe compute is ~16% faster per frame), but through the remote
-    # tunnel the larger per-dispatch readback serializes and measures worse —
-    # this benchmark uses the granularity that pipelines best end-to-end.
-    fpd = 1
-    bucket = bucket_size(fpd * len(boxes))
-    fb, wts, _ = pack_boxes_multi([boxes] * fpd, ps, bucket)
-    fn = make_multiframe_fn(gen, ps, bucket, fpd, h, w, c, jnp.bfloat16)
-
     rng = np.random.default_rng(0)
-    frame_batch = [
-        jnp.asarray(rng.random((fpd, h, w, c), np.float32) * 2 - 1)
-        for _ in range(4)
-    ]
-    pb_j, wts_j = jnp.asarray(fb), jnp.asarray(wts)
-    mask_j = jnp.asarray(np.stack([mask] * fpd))[..., None]
 
-    # warmup / compile + steady-state warm
-    for i in range(6):
-        np.asarray(fn(g_vars, frame_batch[i % 4], pb_j, wts_j, mask_j)[0])
+    results = {"tiles_per_frame": len(boxes)}
+    best_stream, best_compute = 0.0, 0.0
+    for fpd in (1, 3):
+        bucket = bucket_size(fpd * len(boxes))
+        fb, wts, _ = pack_boxes_multi([boxes] * fpd, ps, bucket)
+        fn = make_multiframe_fn(gen, ps, bucket, fpd, h, w, c, jnp.bfloat16)
+        frame_batch = [
+            jnp.asarray(rng.random((fpd, h, w, c), np.float32) * 2 - 1)
+            for _ in range(3)
+        ]
+        pb_j, wts_j = jnp.asarray(fb), jnp.asarray(wts)
+        mask_j = jnp.asarray(np.stack([mask] * fpd))[..., None]
+        args = (pb_j, wts_j, mask_j)
 
-    # streaming measurement: FULL uint8 frame readback to host per frame
-    # (what a real video pipeline must do), overlapped with compute via
-    # async D2H copies and a bounded pipeline depth. Full-array fetches
-    # cannot complete before execution, unlike block_until_ready which the
-    # remote-tunnel backend resolves early.
-    def one_window() -> float:
-        dispatches = max(1, frames // fpd)
-        t0 = time.perf_counter()
-        in_flight = []
-        for i in range(dispatches):
-            o, _ = fn(g_vars, frame_batch[i % 4], pb_j, wts_j, mask_j)
-            try:
-                o.copy_to_host_async()
-            except Exception:
-                pass
-            in_flight.append(o)
-            if len(in_flight) > 3:
-                np.asarray(in_flight.pop(0))
-        for o in in_flight:
-            np.asarray(o)
-        return dispatches * fpd / (time.perf_counter() - t0)
+        for i in range(4):  # compile + steady-state warm
+            np.asarray(fn(g_vars, frame_batch[i % 3], *args)[0])
 
-    # best of 3 windows: the remote-TPU transport has transient congestion
-    # that can halve measured throughput; peak reflects the device
-    rates = [one_window() for _ in range(3)]
-    print(f"[bench] inference: {len(boxes)} tiles/frame, "
-          f"{fpd} frames/dispatch, bucket {bucket}, "
-          f"windows {[round(r, 1) for r in rates]} fps", file=sys.stderr)
-    return max(rates)
+        # compute-only: queue n dispatches, one fetch; difference cancels
+        # the fixed dispatch/transport cost
+        def queued(n):
+            out = None
+            t0 = time.perf_counter()
+            for i in range(n):
+                out = fn(g_vars, frame_batch[i % 3], *args)
+            np.asarray(out[0]).ravel()[:8]
+            return time.perf_counter() - t0
+
+        n = max(4, frames // (2 * fpd))
+        compute_fps = fpd * n / max(queued(2 * n) - queued(n), 1e-9)
+
+        # streaming: every frame fully fetched, async-overlapped
+        def one_window() -> float:
+            dispatches = max(1, frames // fpd)
+            t0 = time.perf_counter()
+            in_flight = []
+            for i in range(dispatches):
+                o, _ = fn(g_vars, frame_batch[i % 3], *args)
+                try:
+                    o.copy_to_host_async()
+                except Exception:
+                    pass
+                in_flight.append(o)
+                if len(in_flight) > 3:
+                    np.asarray(in_flight.pop(0))
+            for o in in_flight:
+                np.asarray(o)
+            return dispatches * fpd / (time.perf_counter() - t0)
+
+        stream_fps = max(one_window() for _ in range(3))
+        print(f"[bench] tiled fpd={fpd} bucket={bucket}: "
+              f"compute-only {compute_fps:.1f} fps, "
+              f"streaming {stream_fps:.1f} fps", file=sys.stderr)
+        results[f"tiled_fpd{fpd}_compute_only"] = round(compute_fps, 3)
+        results[f"tiled_fpd{fpd}_streaming"] = round(stream_fps, 3)
+        best_stream = max(best_stream, stream_fps)
+        best_compute = max(best_compute, compute_fps)
+
+    results["tiled_streaming"] = round(best_stream, 3)
+    results["tiled_compute_only"] = round(best_compute, 3)
+    return results
 
 
 def bench_training(steps: int = 50) -> float:
@@ -154,8 +179,9 @@ def bench_training(steps: int = 50) -> float:
     return steps * batch_size / dt
 
 
-def bench_fullframe(frames: int = 30) -> float:
-    """The TPU-first one-pass mode (inference.mode=fullframe)."""
+def bench_fullframe(frames: int = 30) -> dict:
+    """The TPU-first one-pass mode (inference.mode=fullframe):
+    streaming + compute-only (dispatch-difference)."""
     import jax
     import jax.numpy as jnp
 
@@ -168,16 +194,27 @@ def bench_fullframe(frames: int = 30) -> float:
     fn = make_fullframe_fn(gen, h, w, c, jnp.bfloat16)
     rng = np.random.default_rng(0)
     frame_batch = [jnp.asarray(rng.random((h, w, c), np.float32) * 2 - 1)
-                   for _ in range(4)]
+                   for _ in range(3)]
     mask = jnp.ones((h, w, 1), jnp.float32)
-    for i in range(6):
-        np.asarray(fn(g_vars, frame_batch[i % 4], mask)[0])
+    for i in range(4):
+        np.asarray(fn(g_vars, frame_batch[i % 3], mask)[0])
+
+    def queued(n):
+        out = None
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = fn(g_vars, frame_batch[i % 3], mask)
+        np.asarray(out[0]).ravel()[:8]
+        return time.perf_counter() - t0
+
+    n = max(4, frames // 2)
+    compute_fps = n / max(queued(2 * n) - queued(n), 1e-9)
 
     def one_window() -> float:
         t0 = time.perf_counter()
         in_flight = []
         for i in range(frames):
-            o, _ = fn(g_vars, frame_batch[i % 4], mask)
+            o, _ = fn(g_vars, frame_batch[i % 3], mask)
             try:
                 o.copy_to_host_async()
             except Exception:
@@ -189,14 +226,16 @@ def bench_fullframe(frames: int = 30) -> float:
             np.asarray(o)
         return frames / (time.perf_counter() - t0)
 
-    return max(one_window() for _ in range(3))
+    return {"fullframe_streaming": round(max(one_window() for _ in range(3)),
+                                         3),
+            "fullframe_compute_only": round(compute_fps, 3)}
 
 
 def main() -> None:
     from patch_toon_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    fps = bench_inference()
+    tiled = bench_inference()
     try:
         pps = bench_training()
         print(f"[bench] training: {pps:,.0f} patches/sec", file=sys.stderr)
@@ -205,29 +244,30 @@ def main() -> None:
         pps = None
     try:
         ff = bench_fullframe()
-        print(f"[bench] fullframe mode: {ff:.1f} frames/s", file=sys.stderr)
+        print(f"[bench] fullframe: {ff}", file=sys.stderr)
     except Exception as e:
         print(f"[bench] fullframe bench failed: {e}", file=sys.stderr)
-        ff = None
+        ff = {}
     # Comparison bases (see BASELINE.md): the measured reference-equivalent
     # torch CPU throughput (0.052 frames/s tiled inference; 1.0 patches/s
     # training at the shipped default config) and the 30 fps north star.
+    # The headline value is the PARITY (tiled) mode's streaming rate —
+    # fullframe (relaxed IN semantics) is reported as a secondary metric.
     REF_FPS = 0.052
     REF_PPS = 1.0
-    best = max(fps, ff or 0.0)
+    headline = tiled["tiled_streaming"]
     result = {
-        "metric": "stylized_512p_frames_per_sec_per_chip",
-        "value": round(best, 3),
+        "metric": "stylized_512p_frames_per_sec_per_chip_tiled_parity",
+        "value": round(headline, 3),
         "unit": "frames/s",
-        "vs_baseline": round(best / REF_FPS, 1),
-        "vs_northstar_30fps": round(best / 30.0, 3),
-        "tiled_parity_mode_frames_per_sec": round(fps, 3),
+        "vs_baseline": round(headline / REF_FPS, 1),
+        "vs_northstar_30fps": round(headline / 30.0, 3),
+        **tiled,
+        **ff,
     }
     if pps is not None:
         result["training_patches_per_sec"] = round(pps, 1)
         result["training_vs_reference"] = round(pps / REF_PPS, 1)
-    if ff is not None:
-        result["fullframe_mode_frames_per_sec"] = round(ff, 3)
     print(json.dumps(result))
 
 

@@ -193,6 +193,14 @@ class StyleTransferDataset:
         self.centers = jnp.asarray(table)
         self.counts = jnp.asarray(self.counts_np)
 
+    def replicate_to_mesh(self, mesh) -> None:
+        """Re-put the HBM tables as mesh-replicated (global) arrays so the
+        fused in-jit sampler works on multi-process (DCN) meshes."""
+        from patch_toon_tpu.parallel.mesh import replicate
+
+        self.stack, self.sizes, self.centers, self.counts = replicate(
+            (self.stack, self.sizes, self.centers, self.counts), mesh)
+
     # -- reference-compatible surface -------------------------------------
 
     def __len__(self) -> int:

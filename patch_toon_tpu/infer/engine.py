@@ -123,7 +123,11 @@ def make_frame_fn(generator, patch_size: int, bucket: int,
     def frame_fn(g_vars, frame, boxes, weights, mask):
         # frame (H,W,C) fp32 [-1,1]; boxes (B,4) i32; weights (B,ps,ps) f32;
         # mask (H,W,1) f32 {0,1}
-        fpad = jnp.pad(frame, ((ps, ps), (ps, ps), (0, 0)))
+        # Cast to the compute dtype BEFORE the tile gather: identical values
+        # reach the generator (cast commutes with slice/0-1 masking), but the
+        # fp32 batched dynamic_slice hits a pathological XLA path on v5e
+        # (~28 ms/frame vs ~0.4 ms in bf16 — an ~80x difference).
+        fpad = jnp.pad(frame.astype(dtype), ((ps, ps), (ps, ps), (0, 0)))
 
         def gather(box):
             y0, y1, x0, x1 = box[0], box[1], box[2], box[3]
@@ -134,11 +138,12 @@ def make_frame_fn(generator, patch_size: int, bucket: int,
             r = jnp.arange(ps)
             rv = (r >= hoff) & (r < hoff + ph)
             cv = (r >= woff) & (r < woff + pw)
-            return tile * rv[:, None, None] * cv[None, :, None]
+            return tile * rv[:, None, None].astype(dtype) \
+                * cv[None, :, None].astype(dtype)
 
         tiles = jax.vmap(gather)(boxes)
         gen = generator.apply(
-            g_vars, tiles.astype(dtype), train=False
+            g_vars, tiles, train=False
         ).astype(jnp.float32)
 
         canvas = jnp.zeros((h + ps, w + ps, 3), jnp.float32)
@@ -189,7 +194,10 @@ def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,
         # Frames are flattened along H so the gather/scatter stay 3D —
         # dynamic slices on a 4D canvas cost ~2x per scan iteration.
         hp2 = h + 2 * ps
-        fpad = jnp.pad(frames, ((0, 0), (ps, ps), (ps, ps), (0, 0))
+        # compute-dtype gather (see make_frame_fn: fp32 batched slices are
+        # ~80x slower on v5e; casting first is value-identical)
+        fpad = jnp.pad(frames.astype(dtype), ((0, 0), (ps, ps), (ps, ps),
+                                              (0, 0))
                        ).reshape(n_frames * hp2, w + 2 * ps, c)
 
         def gather(box):
@@ -202,11 +210,12 @@ def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,
             r = jnp.arange(ps)
             rv = (r >= hoff) & (r < hoff + ph)
             cv = (r >= woff) & (r < woff + pw)
-            return tile * rv[:, None, None] * cv[None, :, None]
+            return tile * rv[:, None, None].astype(dtype) \
+                * cv[None, :, None].astype(dtype)
 
         tiles = jax.vmap(gather)(fboxes)
         gen = generator.apply(
-            g_vars, tiles.astype(dtype), train=False).astype(jnp.float32)
+            g_vars, tiles, train=False).astype(jnp.float32)
 
         hp1 = h + ps
         canvas = jnp.zeros((n_frames * hp1, w + ps, 3), jnp.float32)

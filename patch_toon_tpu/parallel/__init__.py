@@ -1,3 +1,9 @@
+from patch_toon_tpu.parallel.dcn import (
+    initialize_distributed,
+    make_dcn_mesh,
+    make_global_batch,
+    num_granules,
+)
 from patch_toon_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -12,4 +18,8 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate",
+    "initialize_distributed",
+    "make_dcn_mesh",
+    "make_global_batch",
+    "num_granules",
 ]

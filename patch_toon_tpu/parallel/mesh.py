@@ -43,7 +43,10 @@ def make_mesh(
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis over 'data', everything else replicated."""
+    """Leading (batch) axis over 'data' (and 'dcn' when the mesh is
+    multi-slice), everything else replicated."""
+    if "dcn" in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn", "data")))
     return NamedSharding(mesh, P("data"))
 
 
@@ -58,6 +61,15 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params / train state) across the mesh."""
+    """Replicate a pytree (params / train state) across the mesh.
+
+    Multi-process meshes build global arrays from (identical) process-local
+    values; single-process meshes are a plain device_put.
+    """
     sh = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        def rep(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(sh, x, x.shape)
+        return jax.tree.map(rep, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

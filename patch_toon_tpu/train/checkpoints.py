@@ -18,6 +18,7 @@ import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -55,19 +56,41 @@ class CheckpointManager:
             if "g_total_loss" in meta:
                 self._scores[path.name] = float(meta["g_total_loss"])
 
+    @staticmethod
+    def _primary() -> bool:
+        return jax.process_index() == 0
+
+    @staticmethod
+    def _sync(tag: str) -> None:
+        """Cross-process barrier (no-op single-process). Orbax's own save has
+        an internal barrier, so in a multi-host run ALL processes must call
+        save(); only process 0 mutates the filesystem around it."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
     def _write(self, name: str, state: GANTrainState,
                extra_meta: Dict[str, Any]) -> Path:
         path = self.directory / name
-        if path.exists():
+        if path.exists() and self._primary():
             shutil.rmtree(path)
+        self._sync(f"ckpt_clear_{name}")
         self._ckptr.save(path, _state_tree(state))
         self._ckptr.wait_until_finished()
-        with open(path / "meta.json", "w") as f:
-            json.dump({**self.meta, **extra_meta}, f, indent=2, default=str)
+        if self._primary():
+            with open(path / "meta.json", "w") as f:
+                json.dump({**self.meta, **extra_meta}, f, indent=2,
+                          default=str)
         return path
 
     def save(self, state: GANTrainState, epoch: int, score: float) -> None:
-        """Save 'last' plus an epoch checkpoint subject to top-k retention."""
+        """Save 'last' plus an epoch checkpoint subject to top-k retention.
+
+        In multi-host runs every process must call this (orbax coordinates
+        the write internally); retention decisions are identical everywhere
+        since the score is replicated, but only process 0 prunes.
+        """
         extra = {"epoch": epoch, "g_total_loss": float(score)}
         self._write("last", state, extra)
         name = f"epoch_{epoch:04d}"
@@ -76,7 +99,8 @@ class CheckpointManager:
         while len(self._scores) > self.keep_top_k:
             worst = max(self._scores, key=self._scores.get)
             self._scores.pop(worst)
-            shutil.rmtree(self.directory / worst, ignore_errors=True)
+            if self._primary():
+                shutil.rmtree(self.directory / worst, ignore_errors=True)
 
     # ------------------------------------------------------------------
 

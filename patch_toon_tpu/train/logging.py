@@ -60,8 +60,10 @@ def build_comparison_grid(
 class MetricsLogger:
     """Thin tensorboardX wrapper; degrades to console-only when TB is absent."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: Optional[str]):
         self.writer = None
+        if not log_dir:  # secondary processes of a multi-host run log nowhere
+            return
         try:
             from tensorboardX import SummaryWriter
 

@@ -52,15 +52,23 @@ def fit(
     early_stopping = bool(tc.get("early_stopping", False))
     patience = int(tc.get("early_stopping_patience", 2))
 
+    # multi-host (DCN): every process runs the identical loop on its local
+    # devices; only process 0 touches disk (TB, checkpoints, prints)
+    primary = jax.process_index() == 0
+    multihost = jax.process_count() > 1
+
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
     state = model.init_state(init_rng, patch_size=dataset.patch_size)
     if resume_from:
         state = CheckpointManager.restore(resume_from, state)
-        print(f"Resumed from {resume_from} at step {int(state.step)}")
+        if primary:
+            print(f"Resumed from {resume_from} at step {int(state.step)}")
 
     if mesh is not None:
         state = replicate(state, mesh)
+        if multihost:
+            dataset.replicate_to_mesh(mesh)
 
     # Uniform sampling fuses the patch gather INTO the jitted train step
     # (one dispatch per step); permutation mode keeps host index bookkeeping
@@ -96,7 +104,7 @@ def fit(
             "patch_size": dataset.patch_size,
         },
     )
-    logger = MetricsLogger(str(run_dir / "tb"))
+    logger = MetricsLogger(str(run_dir / "tb") if primary else None)
     channel_depths = [d for _, _, d in dataset.channel_items]
 
     steps_per_epoch = dataset.steps_per_epoch(batch_size)
@@ -107,9 +115,10 @@ def fit(
     epochs_without_improvement = 0
     global_step = int(state.step)
 
-    print(f"Training: {max_epochs} epochs x {steps_per_epoch} steps, "
-          f"batch {batch_size}, {dataset.num_images} keyframes, "
-          f"{len(dataset)} patch centers")
+    if primary:
+        print(f"Training: {max_epochs} epochs x {steps_per_epoch} steps, "
+              f"batch {batch_size}, {dataset.num_images} keyframes, "
+              f"{len(dataset)} patch centers")
 
     # optional jax.profiler trace of the first training steps
     # (training.profile_dir knob — the reference has no profiler at all,
@@ -169,13 +178,19 @@ def fit(
         mean_loss = float(np.asarray(epoch_loss_sum)) / max(1, steps_per_epoch)
         dt = time.perf_counter() - t0
         pps = steps_per_epoch * batch_size / dt
-        if progress:
+        if progress and primary:
             print(f"epoch {epoch}: g_total_loss={mean_loss:.4f} "
                   f"({dt:.1f}s, {pps:,.0f} patches/s)")
         logger.log_scalars({"epoch_g_total_loss": mean_loss,
                             "patches_per_sec": pps}, global_step)
 
-        ckpt.save(state, epoch, mean_loss)
+        if multihost:
+            # fully-replicated state is process-local readable: fetch to host
+            # so orbax sees plain numpy; ALL processes call save (orbax has
+            # an internal barrier) but only process 0 writes/prunes
+            ckpt.save(jax.device_get(state), epoch, mean_loss)
+        else:
+            ckpt.save(state, epoch, mean_loss)
 
         if mean_loss < best_score - 1e-12:
             best_score = mean_loss

@@ -29,18 +29,33 @@ def _ensure_sample_data(cfg) -> None:
     Only paths under a ``test_dataset`` directory are auto-generated — a
     missing user path still raises the dataset's clear error.
     """
+    import time
+
     dir_pre = Path(cfg.data.dir_pre)
-    if dir_pre.exists():
-        return
     scene = dir_pre.parent
+    sentinel = scene / ".complete"
+    if dir_pre.exists() and (sentinel.exists() or any(dir_pre.iterdir())):
+        return
     if "test_dataset" not in scene.parts:
         return
+
+    # multi-host: only process 0 generates; the rest wait for the sentinel
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        for _ in range(600):
+            if sentinel.exists():
+                return
+            time.sleep(0.1)
+        raise TimeoutError(f"waited for process 0 to generate {scene}")
+
     print(f"Sample scene {scene} not found — generating a synthetic one "
           f"(tools/make_sample_scene.py)")
     sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
     from make_sample_scene import make_scene
 
     make_scene(str(scene), frames=7)
+    sentinel.touch()
 
 
 def train(cfg) -> None:
@@ -53,6 +68,20 @@ def train(cfg) -> None:
     accelerator = str(cfg.training.get("accelerator", "auto"))
     if accelerator == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    # Multi-host (DCN): the cluster MUST be joined before ANY jax call that
+    # initializes the backend (the dataset device_puts keyframes to HBM).
+    par = cfg.get("parallel", {}) or {}
+    dcn_cfg = par.get("dcn", {}) or {}
+    dcn_enabled = bool(dcn_cfg.get("enabled", False))
+    if dcn_enabled:
+        from patch_toon_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=dcn_cfg.get("coordinator_address"),
+            num_processes=dcn_cfg.get("num_processes"),
+            process_id=dcn_cfg.get("process_id"),
+        )
 
     import yaml
 
@@ -93,9 +122,21 @@ def train(cfg) -> None:
     # devices: 1 = single chip (no mesh), N = N-chip data mesh, -1 = all chips
     devices = int(cfg.training.get("devices", 1))
     mesh = None
-    if devices != 1:
-        par = cfg.get("parallel", {}).get("mesh", {})
-        mesh = make_mesh(data=devices, model=int(par.get("model", 1)))
+    if dcn_enabled:
+        # multi-slice ('dcn','data','model') hybrid mesh: ICI inside
+        # slices, DCN between (cluster already joined above)
+        from patch_toon_tpu.parallel import make_dcn_mesh
+
+        mesh_cfg = par.get("mesh", {}) or {}
+        mesh = make_dcn_mesh(
+            data=devices if devices != 1 else -1,
+            model=int(mesh_cfg.get("model", 1)),
+            dcn=int(dcn_cfg.get("slices", -1)),
+        )
+        print(f"DCN mesh ({jax.process_count()} processes): {mesh}")
+    elif devices != 1:
+        mesh_cfg = par.get("mesh", {}) or {}
+        mesh = make_mesh(data=devices, model=int(mesh_cfg.get("model", 1)))
         print(f"Mesh: {mesh}")
 
     fit(model, dataset, run_dir=str(run_dir), mesh=mesh,
