@@ -114,6 +114,9 @@ def fit(
     best_score = float("inf")
     epochs_without_improvement = 0
     global_step = int(state.step)
+    # resume continues the epoch numbering (lightning resume semantics) so
+    # a resumed run never overwrites pre-resume epoch checkpoints
+    start_epoch = global_step // steps_per_epoch if resume_from else 0
 
     if primary:
         print(f"Training: {max_epochs} epochs x {steps_per_epoch} steps, "
@@ -130,7 +133,7 @@ def fit(
     # reference LearningRateMonitor scalar (train.py:34-36) — constant lr here
     lr = float(tc.get("learning_rate", tc.get("lr", 0.0)) or 0.0)
 
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch, max_epochs):
         # device-side running sum: one scalar D2H fetch per epoch instead of
         # a burst of per-step fetches at epoch end (slow over the tunnel)
         epoch_loss_sum = jnp.zeros((), jnp.float32)

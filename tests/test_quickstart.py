@@ -32,5 +32,24 @@ def test_default_config_trains_from_empty_cwd(tmp_path, monkeypatch):
     scene = tmp_path / "test_dataset" / "PlatinumChan_x0.5_train"
     for sub in ("input", "output", "mask", "tracking"):
         assert (scene / sub).exists() and any((scene / sub).iterdir())
-    assert (tmp_path / "out" / "run" / "checkpoints" / "last").exists()
+    ckpts = tmp_path / "out" / "run" / "checkpoints"
+    assert (ckpts / "last").exists()
+    assert (ckpts / "epoch_0000").exists()
     assert (tmp_path / "out" / "run" / "config.yaml").exists()
+
+    # resume continues epoch numbering (no overwrite of pre-resume epochs):
+    # max_epochs is the TOTAL target, so 2 trains exactly one more epoch
+    train_mod.main([
+        "training.max_epochs=2",
+        "training.max_steps=2",
+        "training.batch_size=4",
+        "data.patch_size=32",
+        "training.accelerator=cpu",
+        "training.log_every_n_steps=1",
+        "training.image_log_freq=1000000",
+        f"training.resume_from={ckpts / 'last'}",
+        f"training.output_dir={tmp_path / 'out'}",
+        f"run.dir={tmp_path / 'out' / 'run'}",
+    ])
+    assert (ckpts / "epoch_0000").exists()
+    assert (ckpts / "epoch_0001").exists()

@@ -1,0 +1,459 @@
+#!/usr/bin/env python
+"""Output-quality parity harness: this build vs a torch replica of the
+reference training stack, trained identically, compared on stylized frames.
+
+VERDICT r1 gap #1: the perceptual loss runs on deterministic random VGG
+features in this environment (no torchvision weights obtainable), so quality
+parity cannot be shown against published results — instead both stacks are
+trained IN-ENVIRONMENT with the exact same ingredients and their trained
+outputs are compared:
+
+  * same scene (PlatinumChan keyframes: input/output/mask/tracking),
+  * same patch distribution (uniform image, uniform dilated-valid center),
+  * same losses (L1*4 + random-VGG-prefix perceptual*6 + LSGAN*0.5,
+    reference lightning_model.py:201-321) and torch-Adam(4e-4, wd 1e-5,
+    clip 0.5) schedule,
+  * the SAME VGG weights (this build's deterministic seed-42 fallback,
+    copied into a torch Sequential prefix),
+  * same step budget; independent RNG streams (sampling is stochastic).
+
+Then every keyframe is stylized back by both trained models through their
+own full inference paths (ours: the real tiled engine; torch: the
+straight-line reference reimplementation in tools/torch_oracle.py) and
+compared: PSNR/SSIM against the hand-stylized targets, and cross-stack
+PSNR/SSIM between the two outputs. Writes QUALITY.md + side-by-side JPEGs.
+
+Usage:
+  python tools/quality_harness.py [--steps 300] [--batch 16] [--out docs/quality]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+SCENE = Path("/root/reference/test_dataset/PlatinumChan_x0.5_train")
+PATCH = 80
+LOG_EVERY = 25
+
+
+# ---------------------------------------------------------------------------
+# metrics (numpy; no skimage in this environment)
+# ---------------------------------------------------------------------------
+
+def psnr(a: np.ndarray, b: np.ndarray, mask: np.ndarray | None = None) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    if mask is not None:
+        sel = mask.astype(bool)
+        if not sel.any():
+            return float("nan")
+        mse = ((a - b) ** 2)[sel].mean()
+    else:
+        mse = ((a - b) ** 2).mean()
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    r = np.arange(size) - size // 2
+    k = np.exp(-(r ** 2) / (2 * sigma ** 2))
+    return (k / k.sum()).astype(np.float64)
+
+
+def _filter2d_sep(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 'valid' gaussian filter over HxW (per channel)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    v = sliding_window_view(img, k.size, axis=0)  # (H-s+1, W, C, s)
+    v = np.tensordot(v, k, axes=([-1], [0]))
+    v = sliding_window_view(v, k.size, axis=1)
+    return np.tensordot(v, k, axes=([-1], [0]))
+
+
+def ssim(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean SSIM, gaussian 11x11 sigma 1.5, standard constants (uint8)."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    k = _gaussian_kernel()
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    mu_a = _filter2d_sep(a, k)
+    mu_b = _filter2d_sep(b, k)
+    saa = _filter2d_sep(a * a, k) - mu_a ** 2
+    sbb = _filter2d_sep(b * b, k) - mu_b ** 2
+    sab = _filter2d_sep(a * b, k) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * sab + c2)
+    den = (mu_a ** 2 + mu_b ** 2 + c1) * (saa + sbb + c2)
+    return float((num / den).mean())
+
+
+# ---------------------------------------------------------------------------
+# shared data loading
+# ---------------------------------------------------------------------------
+
+def load_scene():
+    names = sorted(p.name for p in (SCENE / "input").glob("*.png"))
+    frames, posts, masks, tracks = [], [], [], []
+    for n in names:
+        stem = Path(n).stem
+        frames.append(np.asarray(Image.open(SCENE / "input" / n).convert(
+            "RGB"), np.float32) / 255.0 * 2 - 1)
+        posts.append(np.asarray(Image.open(SCENE / "output" / n).convert(
+            "RGB"), np.float32) / 255.0 * 2 - 1)
+        masks.append(Image.open(SCENE / "mask" / f"{stem}.jpg"))
+        tracks.append(np.asarray(Image.open(
+            SCENE / "tracking" / f"{stem}.png").convert("RGB"),
+            np.float32) / 255.0 * 2 - 1)
+    return names, frames, posts, masks, tracks
+
+
+def valid_centers_np(mask_img: Image.Image) -> np.ndarray:
+    """Training valid centers: 7x7 dilation of the binarized mask
+    (reference dataset.py:161-174; same op our data layer uses)."""
+    import jax.numpy as jnp
+
+    from patch_toon_tpu.ops.masks import dilate_valid_centers
+
+    m = np.asarray(mask_img.convert("L"), np.float32) / 255.0
+    m = (m > 0.5).astype(np.float32)
+    valid = np.asarray(dilate_valid_centers(jnp.asarray(m)))
+    ys, xs = np.nonzero(valid)
+    return np.stack([ys, xs], 1).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# torch replica of the reference training stack
+# ---------------------------------------------------------------------------
+
+def build_torch_vgg_prefix(vgg_params):
+    import torch
+
+    prefix = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 64, 3, 1, 1), torch.nn.ReLU(),
+        torch.nn.Conv2d(64, 64, 3, 1, 1), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2, 2), torch.nn.Conv2d(64, 128, 3, 1, 1),
+    )
+    with torch.no_grad():
+        for idx in (0, 2, 5):
+            k = np.asarray(vgg_params[f"features_{idx}"]["kernel"])
+            b = np.asarray(vgg_params[f"features_{idx}"]["bias"])
+            prefix[idx].weight.copy_(
+                torch.from_numpy(np.ascontiguousarray(
+                    np.transpose(k, (3, 2, 0, 1)))))
+            prefix[idx].bias.copy_(torch.from_numpy(b))
+    return prefix.eval()
+
+
+def cut_patch_np(arr: np.ndarray, y: int, x: int) -> np.ndarray:
+    """Reference _cut_patch semantics (dataset.py:209-232): H-1 end bound,
+    zero pad anchored top-left."""
+    h, w = arr.shape[:2]
+    half = PATCH // 2
+    hn, hx = max(0, y - half), min(y + half, h - 1)
+    xn, xx = max(0, x - half), min(x + half, w - 1)
+    out = np.zeros((PATCH, PATCH, arr.shape[2]), arr.dtype)
+    out[: hx - hn, : xx - xn] = arr[hn:hx, xn:xx]
+    return out
+
+
+def train_torch_replica(steps, batch, frames6, posts, centers, vgg_params,
+                        seed=0):
+    """The reference training_step (lightning_model.py:201-321), replicated
+    minimally in torch (pytorch_lightning is absent in this image)."""
+    import torch
+
+    import torch_oracle
+
+    torch.manual_seed(seed)
+    gen = torch_oracle.load_reference_module("generator").GeneratorJ(
+        input_channels=6, use_bias=True, tanh=True, append_smoothers=True,
+        resnet_blocks=7, filters=[32, 64, 128, 128, 128, 64],
+        norm_layer="instance_norm").train()
+    disc = torch_oracle.load_reference_module("discriminator"
+                                              ).DiscriminatorN_IN(
+        input_channels=3, num_filters=12, n_layers=2, use_noise=False,
+        norm_layer="instance_norm", use_bias=True).train()
+    prefix = build_torch_vgg_prefix(vgg_params)
+
+    def vgg_feats(img):
+        feats, cur = [], img
+        for i, layer in enumerate(prefix):
+            cur = layer(cur)
+            if i in (0, 3, 5):
+                feats.append(cur.reshape(cur.size(0), -1))
+        return torch.cat(feats, dim=1)
+
+    opt_g = torch.optim.Adam(gen.parameters(), lr=4e-4, betas=(0.9, 0.999),
+                             weight_decay=1e-5)
+    opt_d = torch.optim.Adam(disc.parameters(), lr=4e-4, betas=(0.9, 0.999),
+                             weight_decay=1e-5)
+    l1 = torch.nn.L1Loss()
+    mse = torch.nn.MSELoss()
+    rng = np.random.default_rng(seed + 1)
+    n_img = len(frames6)
+    losses = []
+    t0 = time.time()
+    for step in range(steps):
+        imgs = rng.integers(0, n_img, batch)
+        xs, ys = [], []
+        for i in imgs:
+            cy, cx = centers[i][rng.integers(0, len(centers[i]))]
+            xs.append(cut_patch_np(frames6[i], int(cy), int(cx)))
+            ys.append(cut_patch_np(posts[i], int(cy), int(cx)))
+        x = torch.from_numpy(np.stack(xs)).permute(0, 3, 1, 2)
+        y = torch.from_numpy(np.stack(ys)).permute(0, 3, 1, 2)
+
+        # D phase (lightning_model.py:224-236)
+        opt_d.zero_grad()
+        with torch.no_grad():
+            fake_img = gen(x)
+        real, _ = disc(y)
+        fake, _ = disc(fake_img)
+        d_loss = (mse(real, torch.ones_like(real))
+                  + mse(fake, torch.zeros_like(fake))) * 0.5
+        d_loss.backward()
+        torch.nn.utils.clip_grad_norm_(disc.parameters(), 0.5)
+        opt_d.step()
+
+        # G phase (lightning_model.py:239-292)
+        opt_g.zero_grad()
+        out = gen(x)
+        g_img = l1(out, y) * 4.0
+        g_perc = ((vgg_feats(out) - vgg_feats(y.detach())) ** 2).mean() * 6.0
+        adv, _ = disc(out)
+        g_adv = mse(adv, torch.ones_like(adv)) * 0.5
+        g_total = g_img + g_perc + g_adv
+        g_total.backward()
+        torch.nn.utils.clip_grad_norm_(gen.parameters(), 0.5)
+        opt_g.step()
+
+        if step % LOG_EVERY == 0 or step == steps - 1:
+            losses.append({"step": step, "g_total": float(g_total),
+                           "g_image": float(g_img), "d_total": float(d_loss)})
+            print(f"[torch] step {step}: g={float(g_total):.4f} "
+                  f"d={float(d_loss):.4f} ({time.time() - t0:.0f}s)",
+                  flush=True)
+    return gen.eval(), losses
+
+
+# ---------------------------------------------------------------------------
+# this build's training + inference
+# ---------------------------------------------------------------------------
+
+def train_ours(steps, batch, seed=0):
+    import jax
+
+    from patch_toon_tpu.data import StyleTransferDataset
+    from patch_toon_tpu.train import StyleTransferModel, make_train_step
+
+    dataset = StyleTransferDataset(
+        dir_pre=str(SCENE / "input"), dir_post=str(SCENE / "output"),
+        dir_mask=str(SCENE / "mask"), patch_size=PATCH,
+        additional_channels={"point_vector": {
+            "path": str(SCENE / "tracking"), "depth": 3}})
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(
+            input_channels=6, use_bias=True, tanh=True,
+            append_smoothers=True, resnet_blocks=7,
+            filters=[32, 64, 128, 128, 128, 64],
+            norm_layer="instance_norm")},
+        discriminator_config={"type": "DiscriminatorN_IN", "args": dict(
+            num_filters=12, n_layers=2, use_noise=False,
+            norm_layer="instance_norm", use_bias=True, input_channels=3)},
+        training_config=dict(
+            batch_size=batch, reconstruction_weight=4.0,
+            adversarial_weight=0.5, use_image_loss=True,
+            reconstruction_criterion="L1Loss",
+            adversarial_criterion="MSELoss",
+            use_gradient_clipping=True, gradient_clip_val=0.5, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5),
+            discriminator=dict(lr=4e-4, betas=[0.9, 0.999],
+                               weight_decay=1e-5)),
+        data_config=dict(patch_size=PATCH, additional_channels={
+            "point_vector": {"path": "x", "depth": 3}}),
+        perception_loss_config={
+            "weight": 6.0,
+            "perception_model": {"type": "PerceptualVGG19", "args": {
+                "feature_layers": [0, 3, 5], "use_normalization": False,
+                "path": None}}},
+    )
+    state = model.init_state(jax.random.PRNGKey(seed), patch_size=PATCH)
+    step_fn = make_train_step(
+        model, sampler=lambda r: dataset.sample_batch(r, batch))
+    rng = jax.random.PRNGKey(seed + 1)
+    losses = []
+    t0 = time.time()
+    for step in range(steps):
+        rng, k = jax.random.split(rng)
+        state, metrics = step_fn(state, k)
+        if step % LOG_EVERY == 0 or step == steps - 1:
+            losses.append({"step": step,
+                           "g_total": float(metrics["g_total_loss"]),
+                           "g_image": float(metrics["g_image_loss"]),
+                           "d_total": float(metrics["d_total_loss"])})
+            print(f"[ours]  step {step}: g={losses[-1]['g_total']:.4f} "
+                  f"d={losses[-1]['d_total']:.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    return model, state, losses
+
+
+def stylize_ours(model, state, out_dir: Path):
+    """Through the real tiled engine (fp32 parity mode)."""
+    import jax.numpy as jnp
+
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer.engine import StyleTransferInference
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+    ckpt_dir = out_dir / "ours_ckpt"
+    mgr = CheckpointManager(ckpt_dir, keep_top_k=1, meta={
+        "input_channels": 6,
+        "generator_args": model.generator_args,
+        "patch_size": PATCH})
+    mgr.save(state, 0, 0.0)
+    cfg = compose(REPO / "config", "inference", overrides=[
+        f"paths.checkpoint={ckpt_dir / 'last'}",
+        f"paths.input_dir={SCENE / 'input'}",
+        f"paths.mask_dir={SCENE / 'mask'}",
+        f"paths.output_dir={out_dir / 'ours'}",
+        f"paths.additional_channels.point_vector.path={SCENE / 'tracking'}",
+        "inference.mode=tiled",
+        "inference.precision=32",
+        "data.patch_size=80",
+    ])
+    StyleTransferInference(cfg).process_directory()
+
+
+# ---------------------------------------------------------------------------
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--out", default=str(REPO / "docs" / "quality"))
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    names, frames, posts, mask_imgs, tracks = load_scene()
+    frames6 = [np.concatenate([f, t], -1) for f, t in zip(frames, tracks)]
+    centers = [valid_centers_np(m) for m in mask_imgs]
+    print(f"scene: {len(names)} keyframes, "
+          f"{sum(len(c) for c in centers)} valid centers", flush=True)
+
+    # ---- our stack (TPU/accelerator) -----------------------------------
+    model, state, our_losses = train_ours(args.steps, args.batch, args.seed)
+    stylize_ours(model, state, out_dir)
+
+    # ---- torch replica (CPU) -------------------------------------------
+    import torch_oracle
+    tgen, torch_losses = train_torch_replica(
+        args.steps, args.batch, frames6, posts, centers,
+        state.vgg_params, args.seed)
+    (out_dir / "torch").mkdir(exist_ok=True)
+    for n, f6, m in zip(names, frames6, mask_imgs):
+        er = torch_oracle.eroded_mask(m)
+        u8 = torch_oracle.stylize_frame(tgen, f6, er, PATCH)
+        Image.fromarray(u8).save(out_dir / "torch" / n)
+
+    # ---- metrics ---------------------------------------------------------
+    rows = []
+    for n, m in zip(names, mask_imgs):
+        gt = np.asarray(Image.open(SCENE / "output" / n).convert("RGB"),
+                        np.int64)
+        ours = np.asarray(Image.open(out_dir / "ours" / n), np.int64)
+        tch = np.asarray(Image.open(out_dir / "torch" / n), np.int64)
+        import torch_oracle as _o
+        msk = np.asarray(_o.eroded_mask(m)[0]) > 0
+        rows.append({
+            "frame": n,
+            "ours_vs_target_psnr": round(psnr(ours, gt, msk), 2),
+            "torch_vs_target_psnr": round(psnr(tch, gt, msk), 2),
+            "ours_vs_torch_psnr": round(psnr(ours, tch, msk), 2),
+            "ours_vs_target_ssim": round(ssim(ours, gt), 4),
+            "torch_vs_target_ssim": round(ssim(tch, gt), 4),
+            "ours_vs_torch_ssim": round(ssim(ours, tch), 4),
+        })
+        side = np.concatenate([
+            np.asarray(Image.open(SCENE / "input" / n).convert("RGB")),
+            ours.astype(np.uint8), tch.astype(np.uint8),
+            gt.astype(np.uint8)], axis=1)
+        Image.fromarray(side).save(out_dir / f"side_{n}.jpg", quality=88)
+
+    payload = {
+        "steps": args.steps, "batch": args.batch, "seed": args.seed,
+        "frames": rows,
+        "our_losses": our_losses, "torch_losses": torch_losses,
+    }
+    with open(out_dir / "quality.json", "w") as f:
+        json.dump(payload, f, indent=1)
+    write_quality_md(payload, out_dir)
+    print(f"done -> {out_dir}/quality.json, QUALITY.md", flush=True)
+
+
+def write_quality_md(p, out_dir: Path):
+    rows = p["frames"]
+    mean = lambda k: sum(r[k] for r in rows) / len(rows)  # noqa: E731
+    lines = [
+        "# Output-quality parity: this build vs torch reference replica",
+        "",
+        f"Both stacks trained {p['steps']} steps x batch {p['batch']} "
+        f"(patch 80) on the PlatinumChan keyframes with identical losses "
+        "(L1*4 + shared random-VGG perceptual*6 + LSGAN*0.5), identical "
+        "torch-Adam schedule, identical deterministic VGG weights, "
+        "independent sampling RNGs. Generated by tools/quality_harness.py; "
+        "full numbers in docs/quality/quality.json, side-by-side frames in "
+        "docs/quality/side_*.jpg (input | ours | torch | target).",
+        "",
+        "PSNR is computed inside the eroded stylization mask (outside it "
+        "both stacks pass the input through unchanged).",
+        "",
+        "| frame | ours→target PSNR | torch→target PSNR | ours↔torch PSNR |"
+        " ours→target SSIM | torch→target SSIM | ours↔torch SSIM |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['frame']} | {r['ours_vs_target_psnr']} | "
+            f"{r['torch_vs_target_psnr']} | {r['ours_vs_torch_psnr']} | "
+            f"{r['ours_vs_target_ssim']} | {r['torch_vs_target_ssim']} | "
+            f"{r['ours_vs_torch_ssim']} |")
+    lines += [
+        f"| **mean** | **{mean('ours_vs_target_psnr'):.2f}** | "
+        f"**{mean('torch_vs_target_psnr'):.2f}** | "
+        f"**{mean('ours_vs_torch_psnr'):.2f}** | "
+        f"**{mean('ours_vs_target_ssim'):.4f}** | "
+        f"**{mean('torch_vs_target_ssim'):.4f}** | "
+        f"**{mean('ours_vs_torch_ssim'):.4f}** |",
+        "",
+        "## Loss trajectories (g_total / d_total)",
+        "",
+        "| step | ours g | torch g | ours d | torch d |",
+        "|---|---|---|---|---|",
+    ]
+    tl = {r["step"]: r for r in p["torch_losses"]}
+    for r in p["our_losses"]:
+        t = tl.get(r["step"], {})
+        lines.append(f"| {r['step']} | {r['g_total']:.4f} | "
+                     f"{t.get('g_total', float('nan')):.4f} | "
+                     f"{r['d_total']:.4f} | "
+                     f"{t.get('d_total', float('nan')):.4f} |")
+    (REPO / "QUALITY.md").write_text("\n".join(lines) + "\n")
+    (out_dir / "QUALITY.md").write_text("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
