@@ -37,13 +37,13 @@ def process_pipeline(
     flow_fwd_dir = output_base_dir / "flow_fwd"
     flow_bwd_dir = output_base_dir / "flow_bwd"
 
-    print("\nStep 1: Resizing images...")
+    print("\n[1/4] Resize scene + extract masks")
     ImageProcessor(
         input_dir=input_dir, output_dir=str(output_base_dir),
         size_mode=resize_mode, size_value=resize_value,
     ).process_directory()
 
-    print("\nStep 2: Calculating optical flow...")
+    print("\n[2/4] Dense optical flow (fwd+bwd)")
     OpticalFlowCalculator(
         input_dir=str(input_dir_resized),
         flow_fwd_dir=str(flow_fwd_dir),
@@ -65,7 +65,7 @@ def process_pipeline(
         key_frames.append(frame_last)
 
     for sigma in (10.0, 15.0):
-        print(f"\nStep 3/4: Gaussian filter (r10_s{int(sigma)})...")
+        print(f"\n[3-4/4] Gaussian splat guides (r10_s{int(sigma)})")
         GaussianFilter(
             mask_dir=str(mask_dir),
             flow_fwd_dir=str(flow_fwd_dir),
@@ -76,7 +76,7 @@ def process_pipeline(
             file_format=file_format,
         ).process()
 
-    print(f"\nProcessing complete! Results saved in: {output_base_dir}")
+    print(f"\nGuide pipeline finished -> {output_base_dir}")
 
 
 def main() -> int:
