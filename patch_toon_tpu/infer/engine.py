@@ -107,17 +107,19 @@ def make_batched_fullframe_fn(generator, h: int, w: int, c: int, dtype,
     if mesh is None:
         return jax.jit(body)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from patch_toon_tpu.parallel.mesh import batch_sharding
 
     # caller device_puts frames/masks with batch sharding and g_vars
-    # replicated; out_shardings pins the frame-sharded layout
-    b_shard = NamedSharding(mesh, P("data"))
+    # replicated; out_shardings pins the frame-sharded layout (frames shard
+    # over ('dcn','data') on hybrid multi-slice meshes)
+    b_shard = batch_sharding(mesh)
     return jax.jit(body, out_shardings=(b_shard, b_shard))
 
 
-def make_frame_fn(generator, patch_size: int, bucket: int,
-                  h: int, w: int, c: int, dtype) -> Any:
-    """Build the jitted one-frame program for a fixed signature."""
+def _frame_body(generator, patch_size: int, bucket: int,
+                h: int, w: int, c: int, dtype) -> Any:
+    """The un-jitted one-frame tiled program (shared by the single-frame,
+    and pod-sharded variants)."""
     ps = patch_size
 
     def frame_fn(g_vars, frame, boxes, weights, mask):
@@ -175,7 +177,40 @@ def make_frame_fn(generator, patch_size: int, bucket: int,
         ).astype(jnp.uint8)
         return u8, out
 
-    return jax.jit(frame_fn)
+    return frame_fn
+
+
+def make_frame_fn(generator, patch_size: int, bucket: int,
+                  h: int, w: int, c: int, dtype) -> Any:
+    """Build the jitted one-frame program for a fixed signature."""
+    return jax.jit(_frame_body(generator, patch_size, bucket, h, w, c, dtype))
+
+
+def make_pod_tiled_fn(generator, patch_size: int, bucket: int,
+                      h: int, w: int, c: int, dtype, mesh=None) -> Any:
+    """Pod-scale TILED (reference-parity) inference: the one-frame tiled
+    program vmapped over a frame batch, frames sharded over the mesh batch
+    axes (('dcn','data') on hybrid meshes). Each chip stylizes its own
+    frames end to end — tile gather, generator batch, scan blend, composite
+    — with no cross-chip communication (pure throughput scaling). The
+    fullframe counterpart is make_batched_fullframe_fn; this one keeps the
+    reference's per-80x80-tile instance-norm semantics (generator.py:427-565).
+    """
+    body = _frame_body(generator, patch_size, bucket, h, w, c, dtype)
+
+    def fn(g_vars, frames, boxes, weights, masks):
+        # frames (F,H,W,C); boxes (F,B,4); weights (F,B,ps,ps); masks (F,H,W,1)
+        return jax.vmap(
+            lambda f, b, wt, m: body(g_vars, f, b, wt, m)
+        )(frames, boxes, weights, masks)
+
+    if mesh is None:
+        return jax.jit(fn)
+
+    from patch_toon_tpu.parallel.mesh import batch_sharding
+
+    b_shard = batch_sharding(mesh)
+    return jax.jit(fn, out_shardings=(b_shard, b_shard))
 
 
 def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,

@@ -149,6 +149,54 @@ def test_batched_fullframe_inference_on_mesh():
         assert np.abs(u8[i].astype(int) - np.asarray(ref_u8).astype(int)).max() <= 1
 
 
+def test_pod_tiled_inference_on_mesh():
+    """Pod-scale TILED (parity-mode) inference: 8 frames' tile programs
+    sharded over 8 devices must equal the single-frame tiled program."""
+    from patch_toon_tpu.infer.engine import make_frame_fn, make_pod_tiled_fn
+    from patch_toon_tpu.infer.tiling import (
+        bucket_size,
+        pack_boxes,
+        tile_boxes_from_mask,
+    )
+    from patch_toon_tpu.models import GeneratorJ
+
+    h, w, c, ps = 24, 36, 3, 16
+    gen = GeneratorJ(input_channels=3, use_bias=True, resnet_blocks=1,
+                     filters=(4, 8, 8, 8, 8, 4))
+    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, ps, ps, 3)))
+
+    frames = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(1), (8, h, w, c))) * 2 - 1
+    masks = np.ones((8, h, w), np.float32)
+    boxes = tile_boxes_from_mask(masks[0], ps, 30.0)
+    bucket = bucket_size(len(boxes))
+    bx, wts, _ = pack_boxes(boxes, ps, bucket)
+    bx8 = np.tile(bx[None], (8, 1, 1))
+    wts8 = np.tile(wts[None], (8, 1, 1, 1))
+
+    mesh = make_mesh(data=8, model=1)
+    pod = make_pod_tiled_fn(gen, ps, bucket, h, w, c, jnp.float32, mesh)
+    with mesh:
+        g_rep = replicate(g_vars, mesh)
+        sh = batch_sharding(mesh)
+        u8, _ = pod(g_rep,
+                    jax.device_put(jnp.asarray(frames, jnp.float32), sh),
+                    jax.device_put(jnp.asarray(bx8), sh),
+                    jax.device_put(jnp.asarray(wts8), sh),
+                    jax.device_put(jnp.asarray(masks[..., None]), sh))
+    assert u8.sharding.is_equivalent_to(batch_sharding(mesh), 4)
+    u8 = np.asarray(u8)
+    assert u8.shape == (8, h, w, 3)
+
+    single = make_frame_fn(gen, ps, bucket, h, w, c, jnp.float32)
+    for i in range(8):
+        ref_u8, _ = single(g_vars, jnp.asarray(frames[i], jnp.float32),
+                           jnp.asarray(bx), jnp.asarray(wts),
+                           jnp.asarray(masks[i][..., None]))
+        assert np.abs(u8[i].astype(int)
+                      - np.asarray(ref_u8).astype(int)).max() <= 1
+
+
 def test_tensor_parallel_generator_forward():
     """Conv-channel TP over the 'model' axis: sharded params must produce
     the same output as replicated params (GSPMD inserts the collectives)."""
