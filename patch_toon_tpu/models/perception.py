@@ -63,8 +63,17 @@ class PerceptualVGG19(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        """Returns flattened+concatenated features, shape (N, total_features)."""
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
+        """Returns the raw NHWC feature maps at the configured indices.
+
+        The reference flattens each map NCHW and concatenates
+        (perception.py:94-114); the loss downstream is a plain MSE over the
+        concatenation (lightning_model.py:271-275), which is permutation-
+        invariant — so the maps are returned unflattened (no transpose, no
+        concat materialization; ~20% of the train step on v5e) and
+        perceptual_mse reduces them directly. flatten_features() provides
+        the reference's exact concat layout for parity tests / users.
+        """
         feature_layers = sorted(self.feature_layers)
         if self.use_normalization:
             # [-1,1] -> [0,1] -> ImageNet stats (reference perception.py:75-92)
@@ -84,22 +93,34 @@ class PerceptualVGG19(nn.Module):
             elif op == "pool":
                 current = nn.max_pool(current, (2, 2), strides=(2, 2))
             if idx in feature_layers:
-                # flatten in torch NCHW order for bit-parity of the concat
-                n = current.shape[0]
-                feats.append(
-                    jnp.transpose(current, (0, 3, 1, 2)).reshape(n, -1)
-                )
-        return jnp.concatenate(feats, axis=1)
+                feats.append(current)
+        return tuple(feats)
 
 
-def perceptual_mse(feats_a: jax.Array, feats_b: jax.Array) -> jax.Array:
-    """Mean squared error over concatenated features, in fp32.
+def flatten_features(feats: Sequence[jax.Array]) -> jax.Array:
+    """Reference concat layout: each map flattened NCHW, concatenated
+    (perception.py:94-114). Used by parity tests and external consumers."""
+    n = feats[0].shape[0]
+    return jnp.concatenate(
+        [jnp.transpose(f, (0, 3, 1, 2)).reshape(n, -1) for f in feats],
+        axis=1)
 
-    Matches reference lightning_model.py:271-275:
-    ``((fake_features - target_features) ** 2).mean()``.
+
+def perceptual_mse(feats_a: Sequence[jax.Array],
+                   feats_b: Sequence[jax.Array]) -> jax.Array:
+    """Mean squared error over all feature elements, in fp32.
+
+    Value-matches reference lightning_model.py:271-275
+    (``((fake - target) ** 2).mean()`` over the concatenation): an MSE over
+    a concatenation equals sum-of-SSE / total count, independent of layout.
     """
-    d = feats_a.astype(jnp.float32) - feats_b.astype(jnp.float32)
-    return jnp.mean(jnp.square(d))
+    sse = jnp.float32(0)
+    count = 0
+    for a, b in zip(feats_a, feats_b):
+        d = a.astype(jnp.float32) - b.astype(jnp.float32)
+        sse = sse + jnp.sum(jnp.square(d))
+        count += int(np.prod(a.shape))
+    return sse / jnp.float32(count)
 
 
 def init_vgg_params(

@@ -164,13 +164,15 @@ def test_vgg_feature_parity_against_torch_prefix():
 
     jv = PerceptualVGG19(feature_layers=tuple(feature_layers),
                          use_normalization=False)
-    y = jv.apply({"params": params}, jnp.asarray(_to_nhwc(x)))
+    from patch_toon_tpu.models.perception import flatten_features
+
+    y = flatten_features(jv.apply({"params": params}, jnp.asarray(_to_nhwc(x))))
     np.testing.assert_allclose(np.asarray(y), ref_feats, atol=2e-4, rtol=1e-3)
 
 
 def test_vgg_normalization_path():
     jv = PerceptualVGG19(feature_layers=(0,), use_normalization=True)
     v = jv.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
-    a = jv.apply(v, jnp.zeros((1, 16, 16, 3)))
-    b = jv.apply(v, jnp.ones((1, 16, 16, 3)))
+    a = jv.apply(v, jnp.zeros((1, 16, 16, 3)))[0]
+    b = jv.apply(v, jnp.ones((1, 16, 16, 3)))[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
