@@ -299,12 +299,21 @@ class StyleTransferInference:
         self.temporal_depth = int(tcfg.get("depth", 3))
         self.temporal_format = str(tcfg.get("file_format", "%03d"))
         self.dtype = _resolve_dtype(inf.get("precision", "bf16")) or jnp.float32
+        # inference.devices: 1 = single chip; N = frames sharded over an
+        # N-chip 'data' mesh (pod streaming); -1 = all chips
+        self.devices = int(inf.get("devices", 1))
+        self._mesh = None
+        self._g_vars_sharded = None
         self.patch_size = int(cfg.data.patch_size)
         self.patch_positions: List[Box] = []
         self.logger = logging.getLogger("patch_toon_tpu.infer")
+        # force=True: absl/plugin imports often install root handlers first,
+        # which would silently swallow these INFO lines otherwise
         logging.basicConfig(
             level=logging.DEBUG if self.debug_mode else logging.INFO,
-            format="%(asctime)s - %(levelname)s - %(message)s")
+            format="%(asctime)s - %(levelname)s - %(message)s", force=True)
+        self.logger.setLevel(
+            logging.DEBUG if self.debug_mode else logging.INFO)
         self._load_data_config()
         self._setup_model()
         self._frame_fns: Dict[Tuple[int, int, int, int], Any] = {}
@@ -355,6 +364,18 @@ class StyleTransferInference:
 
         gen_cfg = to_container(self.cfg.model.generator)
         gen_cfg.setdefault("args", {})
+        # Orbax checkpoints are fully self-describing: the meta sidecar
+        # carries the resolved generator args (filters, resnet_blocks, ...),
+        # so non-default architectures stylize without manual model config.
+        # (The reference can only sniff the channel width from a torch
+        # state_dict, generator.py:115-129.)
+        if Path(ckpt_path).is_dir():
+            from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+            meta_args = CheckpointManager.read_meta(ckpt_path).get(
+                "generator_args")
+            if meta_args:
+                gen_cfg["args"].update(meta_args)
         gen_cfg["args"]["input_channels"] = int(ckpt_channels)
         gen_cfg["args"]["additional_channels"] = None
 
@@ -544,7 +565,9 @@ class StyleTransferInference:
             masks = [g[1] for g in group]
             group_boxes = [g[2] for g in group]
             paths = [output_dir / g[3].name for g in group]
-            if len(group) == 1:
+            if self.devices != 1:
+                out = self._stylize_group_pod(frames, masks, group_boxes)
+            elif len(group) == 1:
                 u8, _, _ = self._stylize_device(frames[0], masks[0])
                 out = u8[None]
             else:
@@ -564,6 +587,11 @@ class StyleTransferInference:
         group_size = None if fpd_cfg == "auto" else max(1, int(fpd_cfg))
         if self.mode == "fullframe":
             group_size = 1  # fullframe is already one whole-frame pass
+        if self.devices != 1:
+            # pod streaming: one frame per chip per dispatch (frames shard
+            # over the mesh 'data' axis; no cross-chip communication)
+            self._ensure_mesh()
+            group_size = self._mesh.devices.size
 
         PREFETCH = 6  # bound decoded-frame memory to O(PREFETCH)
         group = []
@@ -602,6 +630,65 @@ class StyleTransferInference:
         writer.close()
         if failed:
             self.logger.error(f"{failed} frame writes failed")
+
+    def _ensure_mesh(self) -> None:
+        if self._mesh is None:
+            from patch_toon_tpu.parallel import make_mesh, replicate
+
+            self._mesh = make_mesh(
+                data=self.devices if self.devices != 1 else -1)
+            self._g_vars_sharded = replicate(self.g_vars, self._mesh)
+            self.logger.info(f"Pod inference mesh: {self._mesh}")
+
+    def _stylize_group_pod(self, frames, masks, group_boxes):
+        """Dispatch a frame group sharded over the mesh 'data' axis: each
+        chip runs its own frame's full tile (or fullframe) program. Short
+        final groups are padded by repeating the last frame; the caller
+        only reads the real rows."""
+        from patch_toon_tpu.parallel import batch_sharding
+
+        self._ensure_mesh()
+        mesh = self._mesh
+        sh = batch_sharding(mesh)
+        F = mesh.devices.size
+        n_real = len(frames)
+        frames = list(frames) + [frames[-1]] * (F - n_real)
+        masks = list(masks) + [masks[-1]] * (F - n_real)
+        group_boxes = list(group_boxes) + [group_boxes[-1]] * (F - n_real)
+        h, w, c = frames[0].shape
+
+        if self.mode == "fullframe":
+            key = ("pod_ff", F, h, w, c)
+            if key not in self._frame_fns:
+                self._frame_fns[key] = make_batched_fullframe_fn(
+                    self.model.generator, h, w, c, self.dtype, mesh)
+            with mesh:
+                u8, _ = self._frame_fns[key](
+                    self._g_vars_sharded,
+                    jax.device_put(jnp.asarray(np.stack(frames)), sh),
+                    jax.device_put(
+                        jnp.asarray(np.stack(masks))[..., None], sh))
+            return u8[:n_real]
+
+        bucket = bucket_size(max(1, max(len(b) for b in group_boxes)))
+        bx = np.zeros((F, bucket, 4), np.int32)
+        wts = np.zeros((F, bucket, self.patch_size, self.patch_size),
+                       np.float32)
+        for i, boxes in enumerate(group_boxes):
+            bx[i], wts[i], _ = pack_boxes(boxes, self.patch_size, bucket)
+        key = ("pod", F, h, w, c, bucket)
+        if key not in self._frame_fns:
+            self._frame_fns[key] = make_pod_tiled_fn(
+                self.model.generator, self.patch_size, bucket, h, w, c,
+                self.dtype, mesh)
+        with mesh:
+            u8, _ = self._frame_fns[key](
+                self._g_vars_sharded,
+                jax.device_put(jnp.asarray(np.stack(frames)), sh),
+                jax.device_put(jnp.asarray(bx), sh),
+                jax.device_put(jnp.asarray(wts), sh),
+                jax.device_put(jnp.asarray(np.stack(masks))[..., None], sh))
+        return u8[:n_real]
 
     def _stylize_group(self, frames, masks, group_boxes):
         """Dispatch a co-batched group through the multiframe tiled program."""
