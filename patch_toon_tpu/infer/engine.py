@@ -116,6 +116,27 @@ def make_batched_fullframe_fn(generator, h: int, w: int, c: int, dtype,
     return jax.jit(body, out_shardings=(b_shard, b_shard))
 
 
+def _gather_repr(x: jax.Array, dtype) -> Tuple[jax.Array, int]:
+    """Re-express an array for the fast batched-slice path.
+
+    The v5e fp32 batched dynamic_slice is pathological (~28-50 ms/frame vs
+    ~0.4 ms for 16-bit elements — measured ~80x). bf16 compute casts before
+    gathering (value-identical); fp32-parity compute bitcasts each fp32
+    lane into two uint16 lanes, gathers, and bitcasts back — bit-exact.
+    Returns (reexpressed array, lane multiplier)."""
+    if jnp.dtype(dtype) != jnp.float32:
+        return x.astype(dtype), 1
+    u16 = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint16)
+    return u16.reshape(*x.shape[:-1], x.shape[-1] * 2), 2
+
+
+def _from_gather_repr(tile: jax.Array, c: int, mult: int) -> jax.Array:
+    if mult == 1:
+        return tile
+    return jax.lax.bitcast_convert_type(
+        tile.reshape(*tile.shape[:-1], c, 2), jnp.float32)
+
+
 def _frame_body(generator, patch_size: int, bucket: int,
                 h: int, w: int, c: int, dtype) -> Any:
     """The un-jitted one-frame tiled program (shared by the single-frame,
@@ -125,23 +146,22 @@ def _frame_body(generator, patch_size: int, bucket: int,
     def frame_fn(g_vars, frame, boxes, weights, mask):
         # frame (H,W,C) fp32 [-1,1]; boxes (B,4) i32; weights (B,ps,ps) f32;
         # mask (H,W,1) f32 {0,1}
-        # Cast to the compute dtype BEFORE the tile gather: identical values
-        # reach the generator (cast commutes with slice/0-1 masking), but the
-        # fp32 batched dynamic_slice hits a pathological XLA path on v5e
-        # (~28 ms/frame vs ~0.4 ms in bf16 — an ~80x difference).
-        fpad = jnp.pad(frame.astype(dtype), ((ps, ps), (ps, ps), (0, 0)))
+        repr_, mult = _gather_repr(frame, dtype)
+        fpad = jnp.pad(repr_, ((ps, ps), (ps, ps), (0, 0)))
 
         def gather(box):
             y0, y1, x0, x1 = box[0], box[1], box[2], box[3]
             ph, pw = y1 - y0, x1 - x0
             hoff, woff = (ps - ph) // 2, (ps - pw) // 2
             tile = jax.lax.dynamic_slice(
-                fpad, (ps + y0 - hoff, ps + x0 - woff, 0), (ps, ps, c))
+                fpad, (ps + y0 - hoff, ps + x0 - woff, 0),
+                (ps, ps, c * mult))
+            tile = _from_gather_repr(tile, c, mult)
             r = jnp.arange(ps)
             rv = (r >= hoff) & (r < hoff + ph)
             cv = (r >= woff) & (r < woff + pw)
-            return tile * rv[:, None, None].astype(dtype) \
-                * cv[None, :, None].astype(dtype)
+            return tile * rv[:, None, None].astype(tile.dtype) \
+                * cv[None, :, None].astype(tile.dtype)
 
         tiles = jax.vmap(gather)(boxes)
         gen = generator.apply(
@@ -229,11 +249,11 @@ def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,
         # Frames are flattened along H so the gather/scatter stay 3D —
         # dynamic slices on a 4D canvas cost ~2x per scan iteration.
         hp2 = h + 2 * ps
-        # compute-dtype gather (see make_frame_fn: fp32 batched slices are
-        # ~80x slower on v5e; casting first is value-identical)
-        fpad = jnp.pad(frames.astype(dtype), ((0, 0), (ps, ps), (ps, ps),
-                                              (0, 0))
-                       ).reshape(n_frames * hp2, w + 2 * ps, c)
+        # fast-path gather representation (see _gather_repr: fp32 batched
+        # slices are ~80x slower on v5e; bf16 casts, fp32 bitcasts to uint16)
+        repr_, mult = _gather_repr(frames, dtype)
+        fpad = jnp.pad(repr_, ((0, 0), (ps, ps), (ps, ps), (0, 0))
+                       ).reshape(n_frames * hp2, w + 2 * ps, c * mult)
 
         def gather(box):
             f, y0, y1, x0, x1 = box[0], box[1], box[2], box[3], box[4]
@@ -241,12 +261,13 @@ def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,
             hoff, woff = (ps - ph) // 2, (ps - pw) // 2
             tile = jax.lax.dynamic_slice(
                 fpad, (f * hp2 + ps + y0 - hoff, ps + x0 - woff, 0),
-                (ps, ps, c))
+                (ps, ps, c * mult))
+            tile = _from_gather_repr(tile, c, mult)
             r = jnp.arange(ps)
             rv = (r >= hoff) & (r < hoff + ph)
             cv = (r >= woff) & (r < woff + pw)
-            return tile * rv[:, None, None].astype(dtype) \
-                * cv[None, :, None].astype(dtype)
+            return tile * rv[:, None, None].astype(tile.dtype) \
+                * cv[None, :, None].astype(tile.dtype)
 
         tiles = jax.vmap(gather)(fboxes)
         gen = generator.apply(
