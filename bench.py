@@ -90,7 +90,11 @@ def bench_inference(frames: int = 30) -> dict:
             return time.perf_counter() - t0
 
         n = max(4, frames // (2 * fpd))
-        compute_fps = fpd * n / max(queued(2 * n) - queued(n), 1e-9)
+        # best-of-2: even dispatch-difference windows swing with shared-TPU
+        # host contention
+        compute_fps = max(
+            fpd * n / max(queued(2 * n) - queued(n), 1e-9)
+            for _ in range(2))
 
         # streaming: every frame fully fetched, async-overlapped
         def one_window() -> float:
@@ -208,7 +212,8 @@ def bench_fullframe(frames: int = 30) -> dict:
         return time.perf_counter() - t0
 
     n = max(4, frames // 2)
-    compute_fps = n / max(queued(2 * n) - queued(n), 1e-9)
+    compute_fps = max(n / max(queued(2 * n) - queued(n), 1e-9)
+                      for _ in range(2))
 
     def one_window() -> float:
         t0 = time.perf_counter()
