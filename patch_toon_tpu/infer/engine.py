@@ -552,6 +552,23 @@ class StyleTransferInference:
         output_dir.mkdir(parents=True, exist_ok=True)
 
         files = sorted(input_dir.glob("*.[pj][np][g]"))
+
+        # Multi-host pod streaming: per-frame stylization is stateless, so
+        # hosts need NO communication — each worker takes a round-robin
+        # slice of the frame list (inference.file_shard: "i/N") and drives
+        # its own local chips (optionally with inference.devices > 1).
+        shard = self.cfg.get("inference", {}).get("file_shard")
+        if shard:
+            if self.temporal_enabled:
+                raise ValueError(
+                    "inference.file_shard is incompatible with the temporal "
+                    "guide (frame i depends on frame i-1); shard videos, "
+                    "not frames")
+            idx, n = (int(x) for x in str(shard).split("/"))
+            if not 0 <= idx < n:
+                raise ValueError(f"file_shard {shard}: index out of range")
+            files = files[idx::n]
+            self.logger.info(f"File shard {idx}/{n}")
         self.logger.info(f"Found {len(files)} images to process")
 
         def load_one(input_path: Path):

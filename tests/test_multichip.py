@@ -239,7 +239,7 @@ def test_engine_pod_inference_directory(tmp_path):
                                filters=[4, 8, 8, 8, 8, 4]),
         "patch_size": 16}))
 
-    def run(devices, out_name):
+    def run(devices, out_name, extra=()):
         cfg = compose(repo / "config", "inference", overrides=[
             f"paths.checkpoint={ckpt}",
             f"paths.input_dir={scene / 'input'}",
@@ -250,6 +250,7 @@ def test_engine_pod_inference_directory(tmp_path):
             "inference.precision=32",
             f"inference.devices={devices}",
             "data.patch_size=16",
+            *extra,
         ])
         eng = StyleTransferInference(cfg)
         eng.process_directory()
@@ -260,6 +261,18 @@ def test_engine_pod_inference_directory(tmp_path):
     # the POD program (not the single-frame one) must have served the run
     assert any(k[0] == "pod" for k in eng8._frame_fns), eng8._frame_fns.keys()
     assert dict(eng8._mesh.shape) == {"data": 8, "model": 1}
+
+    # multi-host streaming pattern: two file-shard workers together must
+    # reproduce the full output set, each touching only its own frames
+    run(1, "shardout", extra=["inference.file_shard=0/2"])
+    assert sorted(p.name for p in (tmp_path / "shardout").iterdir()) \
+        == ["001.png", "003.png"]
+    run(1, "shardout", extra=["inference.file_shard=1/2"])
+    import numpy as _np
+    for n in ("001.png", "002.png", "003.png"):
+        a = _np.asarray(Image.open(tmp_path / "out1" / n))
+        b = _np.asarray(Image.open(tmp_path / "shardout" / n))
+        assert _np.array_equal(a, b), n
     for n in ("001.png", "002.png", "003.png"):
         a = np.asarray(Image.open(tmp_path / "out1" / n)).astype(int)
         b = np.asarray(Image.open(tmp_path / "out8" / n)).astype(int)
