@@ -319,7 +319,7 @@ class StyleTransferDataset:
         """Save a patch-batch visualization grid (headless equivalent of the
         reference's interactive ``_show_debug_image``, dataset.py:60-83)."""
         from patch_toon_tpu.train.logging import build_comparison_grid
-        from patch_toon_tpu.data.io import save_image_uint8, to_uint8
+        from patch_toon_tpu.data.io import save_image_uint8
 
         grid = build_comparison_grid(
             np.asarray(batch["pre"]),

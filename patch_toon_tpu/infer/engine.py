@@ -381,7 +381,7 @@ class StyleTransferInference:
                 f"{ckpt_channels} channels, but current configuration has "
                 f"{self.total_channels} channels.")  # generator.py:120-129
 
-        from patch_toon_tpu.config import ConfigNode, to_container
+        from patch_toon_tpu.config import to_container
 
         gen_cfg = to_container(self.cfg.model.generator)
         gen_cfg.setdefault("args", {})
