@@ -147,10 +147,8 @@ def init_vgg_params(
             w = loaded[f"features.{idx}.weight"]  # OIHW
             b = loaded[f"features.{idx}.bias"]
             new[layer_name] = {
-                "conv": {
-                    "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),  # HWIO
-                    "bias": jnp.asarray(b),
-                }
+                "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),  # HWIO
+                "bias": jnp.asarray(b),
             }
         params = new
     return {"params": params}
