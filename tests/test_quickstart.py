@@ -12,6 +12,23 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
+def test_sample_generation_skips_multi_sequence_configs(tmp_path, monkeypatch):
+    """Multi-sequence (list) data dirs must never trigger auto-generation
+    (regression: Path(list) raised TypeError)."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, str(REPO))
+    import train as train_mod
+    from patch_toon_tpu.config import compose
+
+    cfg = compose(REPO / "config", "config", overrides=[
+        "data.dir_pre=[a/input,b/input]",
+        "data.dir_post=[a/output,b/output]",
+        "data.dir_mask=[a/mask,b/mask]",
+    ])
+    train_mod._ensure_sample_data(cfg)  # must no-op, not raise
+    assert not (tmp_path / "test_dataset").exists()
+
+
 def test_default_config_trains_from_empty_cwd(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)  # no test_dataset/ here — must be generated
     sys.path.insert(0, str(REPO))

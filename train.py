@@ -31,6 +31,8 @@ def _ensure_sample_data(cfg) -> None:
     """
     import time
 
+    if isinstance(cfg.data.dir_pre, (list, tuple)):
+        return  # explicit multi-sequence config: never auto-generate
     dir_pre = Path(cfg.data.dir_pre)
     scene = dir_pre.parent
     sentinel = scene / ".complete"
