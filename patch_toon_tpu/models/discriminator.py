@@ -36,6 +36,7 @@ class DiscriminatorN_IN(nn.Module):
     use_bias: bool = True
     dtype: Any = None
     fused_norm: bool = False
+    conv_precision: Optional[str] = None  # None (parity) | "high" (32_fast)
 
     @nn.compact
     def __call__(
@@ -52,10 +53,12 @@ class DiscriminatorN_IN(nn.Module):
 
         norm = self.norm_layer if self.norm_layer in ("instance_norm",) else None
         dt = self.dtype
+        cp = self.conv_precision
 
         # initial: Conv4x4 s2 p1 -> LReLU (no norm)       [discriminator.py:42-49]
         out = ConvBlock(self.num_filters, 4, 2, 1, self.use_bias, None,
-                        "leaky_relu", dtype=dt, name="initial")(x)
+                        "leaky_relu", dtype=dt, conv_precision=cp,
+                        name="initial")(x)
 
         # intermediate: filters double per layer, cap 8x  [discriminator.py:53-67]
         curr = self.num_filters
@@ -63,6 +66,7 @@ class DiscriminatorN_IN(nn.Module):
             nxt = min(curr * 2, self.num_filters * 8)
             out = ConvBlock(nxt, 4, 2, 1, self.use_bias, norm, "leaky_relu",
                             dtype=dt, fused_norm=self.fused_norm,
+                            conv_precision=cp,
                             name=f"intermediate_{i - 1}")(out)
             curr = nxt
 
@@ -70,8 +74,9 @@ class DiscriminatorN_IN(nn.Module):
         nxt = min(curr * 2, self.num_filters * 8)
         out = ConvBlock(nxt, 4, 1, 1, self.use_bias, norm, "leaky_relu",
                         dtype=dt, fused_norm=self.fused_norm,
-                        name="pre_output")(out)
+                        conv_precision=cp, name="pre_output")(out)
 
         # output: Conv4x4 s1 p1 -> 1 channel, no norm/act [discriminator.py:83-90]
-        out = torch_conv(1, 4, 1, 1, self.use_bias, dtype=dt, name="output")(out)
+        out = torch_conv(1, 4, 1, 1, self.use_bias, dtype=dt, name="output",
+                         conv_precision=cp)(out)
         return out

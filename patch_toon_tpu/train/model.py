@@ -54,6 +54,15 @@ def _resolve_dtype(precision: Any) -> Any:
     return None  # fp32
 
 
+def _resolve_conv_precision(precision: Any) -> Any:
+    """"32_fast" = fp32 tensors with tf32-style 3-pass bf16 convs
+    (lax.Precision.HIGH): ~2x the fp32-parity conv throughput on TPU at
+    ~1e-6 relative error. None keeps the dtype-derived parity policy."""
+    if precision in ("32_fast", "tf32", "fp32_fast"):
+        return "high"
+    return None
+
+
 class StyleTransferModel:
     """Holds module definitions + configs; produces the initial GANTrainState."""
 
@@ -82,6 +91,8 @@ class StyleTransferModel:
         self.additional_channels = self.data_config.get("additional_channels") or {}
         validate_additional_channels(self.additional_channels)
         self.dtype = _resolve_dtype(self.training_config.get("precision", 32))
+        self.conv_precision = _resolve_conv_precision(
+            self.training_config.get("precision", 32))
 
         # fail fast on unknown criteria (the reference defers to getattr(nn,·)
         # at construction too, lightning_model.py:48-54)
@@ -109,14 +120,18 @@ class StyleTransferModel:
         if "filters" in g_args:
             g_args["filters"] = tuple(g_args["filters"])
         self.generator_args = g_args
-        self.generator = GeneratorJ(dtype=self.dtype, **g_args)
+        self.generator = GeneratorJ(dtype=self.dtype,
+                                    conv_precision=self.conv_precision,
+                                    **g_args)
 
         self.discriminator = None
         self.discriminator_args = None
         if d_args is not None:
             d_args.pop("additional_channels", None)
             self.discriminator_args = d_args
-            self.discriminator = DiscriminatorN_IN(dtype=self.dtype, **d_args)
+            self.discriminator = DiscriminatorN_IN(
+                dtype=self.dtype, conv_precision=self.conv_precision,
+                **d_args)
 
         self.perception = None
         self.perception_weight = 0.0

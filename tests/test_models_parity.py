@@ -176,3 +176,32 @@ def test_vgg_normalization_path():
     a = jv.apply(v, jnp.zeros((1, 16, 16, 3)))[0]
     b = jv.apply(v, jnp.ones((1, 16, 16, 3)))[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_generator_32_fast_mode_close_to_fp32():
+    """precision "32_fast" (tf32-style 3-pass bf16 convs, lax.Precision.HIGH)
+    must stay within ~1e-5 of the fp32-parity generator. On CPU HIGH runs
+    native fp32, so this validates the plumbing and that the mode is
+    value-safe; the ~2x TPU throughput claim is measured in
+    tools/profile_convs.py."""
+    gen32 = GeneratorJ(input_channels=6, use_bias=True, tanh=True,
+                       append_smoothers=True, resnet_blocks=7,
+                       filters=(32, 64, 128, 128, 128, 64))
+    genf = gen32.clone(conv_precision="high")
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 80, 80, 6)), jnp.float32)
+    variables = gen32.init(jax.random.PRNGKey(0), x, train=True)
+    a = gen32.apply(variables, x, train=False)
+    b = genf.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_32_fast_precision_resolution():
+    from patch_toon_tpu.train.model import (_resolve_conv_precision,
+                                            _resolve_dtype)
+
+    assert _resolve_dtype("32_fast") is None          # fp32 tensors
+    assert _resolve_conv_precision("32_fast") == "high"
+    assert _resolve_conv_precision(32) is None
+    assert _resolve_conv_precision("bf16") is None

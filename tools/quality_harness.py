@@ -168,9 +168,13 @@ def cut_patch_np(arr: np.ndarray, y: int, x: int) -> np.ndarray:
 
 
 def train_torch_replica(steps, batch, frames6, posts, centers, vgg_params,
-                        seed=0):
+                        seed=0, ckpt_path=None):
     """The reference training_step (lightning_model.py:201-321), replicated
-    minimally in torch (pytorch_lightning is absent in this image)."""
+    minimally in torch (pytorch_lightning is absent in this image).
+
+    At multi-hour budgets (~9 s/step on CPU) the loop checkpoints every 100
+    steps to ``ckpt_path`` and resumes from it, so an interrupted run loses
+    at most ~15 minutes."""
     import torch
 
     import torch_oracle
@@ -203,8 +207,19 @@ def train_torch_replica(steps, batch, frames6, posts, centers, vgg_params,
     rng = np.random.default_rng(seed + 1)
     n_img = len(frames6)
     losses = []
+    start_step = 0
+    if ckpt_path is not None and Path(ckpt_path).exists():
+        snap = torch.load(ckpt_path, weights_only=False)
+        gen.load_state_dict(snap["gen"])
+        disc.load_state_dict(snap["disc"])
+        opt_g.load_state_dict(snap["opt_g"])
+        opt_d.load_state_dict(snap["opt_d"])
+        rng.bit_generator.state = snap["rng"]
+        losses = snap["losses"]
+        start_step = snap["step"] + 1
+        print(f"[torch] resumed from step {start_step}", flush=True)
     t0 = time.time()
-    for step in range(steps):
+    for step in range(start_step, steps):
         imgs = rng.integers(0, n_img, batch)
         xs, ys = [], []
         for i in imgs:
@@ -244,6 +259,14 @@ def train_torch_replica(steps, batch, frames6, posts, centers, vgg_params,
             print(f"[torch] step {step}: g={float(g_total):.4f} "
                   f"d={float(d_loss):.4f} ({time.time() - t0:.0f}s)",
                   flush=True)
+        if ckpt_path is not None and (step % 100 == 99 or step == steps - 1):
+            tmp = Path(str(ckpt_path) + ".tmp")
+            torch.save({"gen": gen.state_dict(), "disc": disc.state_dict(),
+                        "opt_g": opt_g.state_dict(),
+                        "opt_d": opt_d.state_dict(),
+                        "rng": rng.bit_generator.state,
+                        "losses": losses, "step": step}, tmp)
+            tmp.replace(ckpt_path)
     return gen.eval(), losses
 
 
@@ -362,7 +385,8 @@ def main():
     import torch_oracle
     tgen, torch_losses = train_torch_replica(
         args.steps, args.batch, frames6, posts, centers,
-        state.vgg_params, args.seed)
+        state.vgg_params, args.seed,
+        ckpt_path=out_dir / "torch_train.ckpt")
     (out_dir / "torch").mkdir(exist_ok=True)
     for n, f6, m in zip(names, frames6, mask_imgs):
         er = torch_oracle.eroded_mask(m)
