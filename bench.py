@@ -79,14 +79,16 @@ def bench_inference(frames: int = 30) -> dict:
         for i in range(4):  # compile + steady-state warm
             np.asarray(fn(g_vars, frame_batch[i % 3], *args)[0])
 
-        # compute-only: queue n dispatches, one fetch; difference cancels
-        # the fixed dispatch/transport cost
+        # compute-only: queue n dispatches, one TINY fetch (a sliced pixel —
+        # a multi-MB fetch's transport time varies by hundreds of ms through
+        # the tunnel and would swamp the difference); difference cancels the
+        # fixed dispatch cost
         def queued(n):
             out = None
             t0 = time.perf_counter()
             for i in range(n):
                 out = fn(g_vars, frame_batch[i % 3], *args)
-            np.asarray(out[0]).ravel()[:8]
+            np.asarray(out[0][0, 0, 0])
             return time.perf_counter() - t0
 
         n = max(4, frames // (2 * fpd))
@@ -208,7 +210,7 @@ def bench_fullframe(frames: int = 30) -> dict:
         t0 = time.perf_counter()
         for i in range(n):
             out = fn(g_vars, frame_batch[i % 3], mask)
-        np.asarray(out[0]).ravel()[:8]
+        np.asarray(out[0][0, 0, 0])
         return time.perf_counter() - t0
 
     n = max(4, frames // 2)

@@ -53,7 +53,8 @@ from patch_toon_tpu.train.checkpoints import sniff_input_channels
 from patch_toon_tpu.train.model import StyleTransferModel, _resolve_dtype
 
 
-def make_fullframe_fn(generator, h: int, w: int, c: int, dtype) -> Any:
+def make_fullframe_fn(generator, h: int, w: int, c: int, dtype,
+                      compiler_options=None) -> Any:
     """One whole-frame generator pass (the TPU-first fast path).
 
     The reference's tile decomposition exists because of its per-tile Python
@@ -81,11 +82,11 @@ def make_fullframe_fn(generator, h: int, w: int, c: int, dtype) -> Any:
         ).astype(jnp.uint8)
         return u8, out
 
-    return jax.jit(fn)
+    return jax.jit(fn, compiler_options=compiler_options)
 
 
 def make_batched_fullframe_fn(generator, h: int, w: int, c: int, dtype,
-                              mesh=None) -> Any:
+                              mesh=None, compiler_options=None) -> Any:
     """Multi-frame fullframe program, frames sharded over the mesh 'data'
     axis — the pod-scale streaming path (each chip stylizes its own frames;
     no cross-chip communication needed, pure throughput scaling)."""
@@ -105,7 +106,7 @@ def make_batched_fullframe_fn(generator, h: int, w: int, c: int, dtype,
         return u8, out
 
     if mesh is None:
-        return jax.jit(body)
+        return jax.jit(body, compiler_options=compiler_options)
 
     from patch_toon_tpu.parallel.mesh import batch_sharding
 
@@ -113,7 +114,8 @@ def make_batched_fullframe_fn(generator, h: int, w: int, c: int, dtype,
     # replicated; out_shardings pins the frame-sharded layout (frames shard
     # over ('dcn','data') on hybrid multi-slice meshes)
     b_shard = batch_sharding(mesh)
-    return jax.jit(body, out_shardings=(b_shard, b_shard))
+    return jax.jit(body, out_shardings=(b_shard, b_shard),
+                   compiler_options=compiler_options)
 
 
 def _gather_repr(x: jax.Array, dtype) -> Tuple[jax.Array, int]:
@@ -201,13 +203,16 @@ def _frame_body(generator, patch_size: int, bucket: int,
 
 
 def make_frame_fn(generator, patch_size: int, bucket: int,
-                  h: int, w: int, c: int, dtype) -> Any:
+                  h: int, w: int, c: int, dtype,
+                  compiler_options=None) -> Any:
     """Build the jitted one-frame program for a fixed signature."""
-    return jax.jit(_frame_body(generator, patch_size, bucket, h, w, c, dtype))
+    return jax.jit(_frame_body(generator, patch_size, bucket, h, w, c, dtype),
+                   compiler_options=compiler_options)
 
 
 def make_pod_tiled_fn(generator, patch_size: int, bucket: int,
-                      h: int, w: int, c: int, dtype, mesh=None) -> Any:
+                      h: int, w: int, c: int, dtype, mesh=None,
+                      compiler_options=None) -> Any:
     """Pod-scale TILED (reference-parity) inference: the one-frame tiled
     program vmapped over a frame batch, frames sharded over the mesh batch
     axes (('dcn','data') on hybrid meshes). Each chip stylizes its own
@@ -225,16 +230,18 @@ def make_pod_tiled_fn(generator, patch_size: int, bucket: int,
         )(frames, boxes, weights, masks)
 
     if mesh is None:
-        return jax.jit(fn)
+        return jax.jit(fn, compiler_options=compiler_options)
 
     from patch_toon_tpu.parallel.mesh import batch_sharding
 
     b_shard = batch_sharding(mesh)
-    return jax.jit(fn, out_shardings=(b_shard, b_shard))
+    return jax.jit(fn, out_shardings=(b_shard, b_shard),
+                   compiler_options=compiler_options)
 
 
 def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,
-                       h: int, w: int, c: int, dtype) -> Any:
+                       h: int, w: int, c: int, dtype,
+                       compiler_options=None) -> Any:
     """Several frames' tiles in ONE generator batch (tiled semantics kept).
 
     Co-batching frames fills the pow2 tile bucket (see
@@ -303,7 +310,7 @@ def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,
             jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)).astype(jnp.uint8)
         return u8, out
 
-    return jax.jit(fn)
+    return jax.jit(fn, compiler_options=compiler_options)
 
 
 class StyleTransferInference:
@@ -323,6 +330,11 @@ class StyleTransferInference:
         # inference.devices: 1 = single chip; N = frames sharded over an
         # N-chip 'data' mesh (pod streaming); -1 = all chips
         self.devices = int(inf.get("devices", 1))
+        from patch_toon_tpu.utils.xla_options import resolve_xla_options
+
+        # per-compile XLA option tuning (docs/perf/xla_ab.json); "auto"
+        # applies the measured TPU winner, "none" the compiler defaults
+        self.xla_options = resolve_xla_options(inf.get("xla_options", "auto"))
         self._mesh = None
         self._g_vars_sharded = None
         self.patch_size = int(cfg.data.patch_size)
@@ -437,7 +449,7 @@ class StyleTransferInference:
         if key not in self._frame_fns:
             self._frame_fns[key] = make_frame_fn(
                 self.model.generator, self.patch_size, bucket, h, w, c,
-                self.dtype)
+                self.dtype, compiler_options=self.xla_options)
         return self._frame_fns[key]
 
     def _stylize_device(
@@ -455,7 +467,8 @@ class StyleTransferInference:
             key = ("fullframe", h, w, c)
             if key not in self._frame_fns:
                 self._frame_fns[key] = make_fullframe_fn(
-                    self.model.generator, h, w, c, self.dtype)
+                    self.model.generator, h, w, c, self.dtype,
+                    compiler_options=self.xla_options)
             u8, out_float = self._frame_fns[key](
                 self.g_vars, jnp.asarray(frame), jnp.asarray(mask[..., None]))
             return u8, out_float, []
@@ -699,7 +712,8 @@ class StyleTransferInference:
             key = ("pod_ff", F, h, w, c)
             if key not in self._frame_fns:
                 self._frame_fns[key] = make_batched_fullframe_fn(
-                    self.model.generator, h, w, c, self.dtype, mesh)
+                    self.model.generator, h, w, c, self.dtype, mesh,
+                    compiler_options=self.xla_options)
             with mesh:
                 u8, _ = self._frame_fns[key](
                     self._g_vars_sharded,
@@ -718,7 +732,7 @@ class StyleTransferInference:
         if key not in self._frame_fns:
             self._frame_fns[key] = make_pod_tiled_fn(
                 self.model.generator, self.patch_size, bucket, h, w, c,
-                self.dtype, mesh)
+                self.dtype, mesh, compiler_options=self.xla_options)
         with mesh:
             u8, _ = self._frame_fns[key](
                 self._g_vars_sharded,
@@ -742,7 +756,7 @@ class StyleTransferInference:
         if key not in self._frame_fns:
             self._frame_fns[key] = make_multiframe_fn(
                 self.model.generator, self.patch_size, bucket, f, h, w, c,
-                self.dtype)
+                self.dtype, compiler_options=self.xla_options)
         u8, _ = self._frame_fns[key](
             self.g_vars, jnp.asarray(np.stack(frames)),
             jnp.asarray(fboxes), jnp.asarray(weights),
@@ -758,10 +772,14 @@ class StyleTransferInference:
         is the i -> i-1 correspondence written by tools/optical_flow.py
         (backward direction). Frame 0 bootstraps with its own RGB. The
         previous output stays on device in [-1, 1]; only the uint8 frame is
-        fetched. Inherently sequential (frame i depends on i-1), so no
-        dispatch pipelining here. Requires a checkpoint trained with the
-        matching temporal channels (see tools/temporal_guide.py).
+        fetched. The chain is inherently sequential (frame i depends on
+        i-1), so device dispatches can't pipeline — but host decode can:
+        frame i+1 decodes in a worker thread while the device stylizes
+        frame i. Requires a checkpoint trained with the matching temporal
+        channels (see tools/temporal_guide.py).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from tqdm import tqdm
 
         from patch_toon_tpu.ops.flow import warp_image
@@ -769,9 +787,13 @@ class StyleTransferInference:
         flow_dir = Path(self.temporal_flow_dir) if self.temporal_flow_dir \
             else None
         prev_float = None
+        pool = ThreadPoolExecutor(max_workers=1)
+        futures = {0: pool.submit(load_one, files[0])} if files else {}
         for i, input_path in enumerate(tqdm(files, desc="Temporal frames")):
+            if i + 1 < len(files):
+                futures[i + 1] = pool.submit(load_one, files[i + 1])
             try:
-                frame, mask = load_one(input_path)
+                frame, mask = futures.pop(i).result()
                 if prev_float is None or flow_dir is None:
                     guide = jnp.asarray(frame[:, :, :3])
                 else:
@@ -800,3 +822,4 @@ class StyleTransferInference:
                 self.logger.error(f"Failed to process {input_path.name}: {e}")
                 prev_float = None  # restart the temporal chain
                 continue
+        pool.shutdown(wait=False)

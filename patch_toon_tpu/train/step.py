@@ -40,6 +40,7 @@ def make_train_step(
     donate: bool = True,
     sampler: Optional[Callable[[jax.Array], Dict[str, jax.Array]]] = None,
     batch_sharding: Optional[Any] = None,
+    xla_options: Any = "auto",
 ) -> Callable[..., Tuple[GANTrainState, Metrics]]:
     """Build the jitted GAN step.
 
@@ -50,6 +51,11 @@ def make_train_step(
     ``batch_sharding`` optionally pins the sampled batch's layout (the data
     mesh axis) via a sharding constraint.
     """
+    from patch_toon_tpu.utils.xla_options import resolve_xla_options
+
+    compiler_options = resolve_xla_options(
+        model.training_config.get("xla_options", xla_options)
+        if xla_options == "auto" else xla_options)
     tc = model.training_config
     rec_crit = get_criterion(tc["reconstruction_criterion"])
     adv_crit = get_criterion(tc["adversarial_criterion"])
@@ -173,7 +179,8 @@ def make_train_step(
         return new_state, metrics
 
     if sampler is None:
-        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                       compiler_options=compiler_options)
 
     def fused_step(state: GANTrainState, rng: jax.Array):
         rng_sample, rng_step = jax.random.split(rng)
@@ -184,4 +191,5 @@ def make_train_step(
                 batch)
         return train_step(state, batch, rng_step)
 
-    return jax.jit(fused_step, donate_argnums=(0,) if donate else ())
+    return jax.jit(fused_step, donate_argnums=(0,) if donate else (),
+                   compiler_options=compiler_options)
