@@ -48,6 +48,9 @@ def bench_inference(frames: int = 30) -> dict:
         tile_boxes_from_mask,
     )
     from patch_toon_tpu.models import GeneratorJ
+    from patch_toon_tpu.utils.xla_options import resolve_xla_options
+
+    xla_opts = resolve_xla_options("auto")  # what the shipped engine applies
 
     h, w, c = 512, 910, 6  # 512p, 16:9
     ps = 80
@@ -67,7 +70,8 @@ def bench_inference(frames: int = 30) -> dict:
     for fpd in (1, 3):
         bucket = bucket_size(fpd * len(boxes))
         fb, wts, _ = pack_boxes_multi([boxes] * fpd, ps, bucket)
-        fn = make_multiframe_fn(gen, ps, bucket, fpd, h, w, c, jnp.bfloat16)
+        fn = make_multiframe_fn(gen, ps, bucket, fpd, h, w, c, jnp.bfloat16,
+                                compiler_options=xla_opts)
         frame_batch = [
             jnp.asarray(rng.random((fpd, h, w, c), np.float32) * 2 - 1)
             for _ in range(3)
@@ -193,11 +197,13 @@ def bench_fullframe(frames: int = 30) -> dict:
 
     from patch_toon_tpu.infer.engine import make_fullframe_fn
     from patch_toon_tpu.models import GeneratorJ
+    from patch_toon_tpu.utils.xla_options import resolve_xla_options
 
     h, w, c = 512, 910, 6
     gen = GeneratorJ(input_channels=c, use_bias=True, dtype=jnp.bfloat16)
     g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 80, c)))
-    fn = make_fullframe_fn(gen, h, w, c, jnp.bfloat16)
+    fn = make_fullframe_fn(gen, h, w, c, jnp.bfloat16,
+                           compiler_options=resolve_xla_options("auto"))
     rng = np.random.default_rng(0)
     frame_batch = [jnp.asarray(rng.random((h, w, c), np.float32) * 2 - 1)
                    for _ in range(3)]

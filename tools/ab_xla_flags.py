@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Interleaved A/B of XLA compiler-option candidates for the generator.
+"""Interleaved A/B of XLA compiler-option candidates on the hot programs.
 
-Single timing windows on this shared TPU swing +/-2x (see
-docs/perf/xla_sweep.json: the SAME compiled default program measured
-99-217 us/tile across one sweep). This interleaves candidate measurements
-round-robin over many rounds and compares per-program MINIMA — the
-contention-free estimate — and verifies each candidate's outputs match the
-default compile bitwise (compiler options must not change numerics).
+Single timing windows on this shared TPU swing +/-2x, and multi-MB fetches
+add hundreds of ms of transport variance (see docs/perf/xla_sweep.json: the
+SAME compiled program measured 99-217 us/tile across one sweep). This
+interleaves candidate measurements round-robin in randomized order over many
+rounds, drains the dispatch queue with a 4-byte fetch, and compares
+per-program MINIMA/medians. Candidates are verified to match the default
+compile numerically before timing.
 
-Usage: python tools/ab_xla_flags.py [bucket] [rounds] [--json out.json]
+Programs:
+  gen        - generator tile-batch forward (bucket B)
+  multiframe - the full fpd=3 tiled frame program (gather+gen+blend)
+  train      - the fused GAN train step (batch 80)
+
+Usage: python tools/ab_xla_flags.py [--program gen] [bucket] [rounds]
+                                    [--json out.json]
 """
 
 from __future__ import annotations
@@ -32,87 +39,203 @@ ROUNDS = int(args[1]) if len(args) > 1 else 10
 JSON_OUT = None
 if "--json" in sys.argv:
     JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
+PROGRAM = "gen"
+if "--program" in sys.argv:
+    PROGRAM = sys.argv[sys.argv.index("--program") + 1]
 PS, C, N = 80, 6, 8
 DT = jnp.bfloat16
 
 CANDIDATES = [
     ("default", {}),
-    ("vmem_24m", {"xla_tpu_scoped_vmem_limit_kib": "24576"}),
     ("vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
-    ("vmem_48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
 ]
 
 
-def main():
-    rng = np.random.default_rng(0)
-    sets = [jnp.asarray(rng.random((B, PS, PS, C), np.float32) * 2 - 1, DT)
-            for _ in range(3)]
+def build_gen():
     gen = GeneratorJ(input_channels=C, use_bias=True, tanh=True,
                      append_smoothers=True, resnet_blocks=7,
                      filters=(32, 64, 128, 128, 128, 64),
                      norm_layer="instance_norm", dtype=DT)
     g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, PS, PS, C)))
+    return gen, g_vars
 
-    lowered = jax.jit(lambda t: gen.apply(g_vars, t, train=False)).lower(
-        jax.ShapeDtypeStruct((B, PS, PS, C), DT))
+
+def make_program():
+    """Returns (lowered, example_args, units_per_call, unit_name,
+    result_slice) for the selected program."""
+    rng = np.random.default_rng(0)
+    if PROGRAM == "gen":
+        gen, g_vars = build_gen()
+        sets = [jnp.asarray(
+            rng.random((B, PS, PS, C), np.float32) * 2 - 1, DT)
+            for _ in range(3)]
+        lowered = jax.jit(
+            lambda t: gen.apply(g_vars, t, train=False)).lower(
+            jax.ShapeDtypeStruct((B, PS, PS, C), DT))
+        return lowered, sets, B, "us/tile", lambda out: out[0, 0, 0]
+    if PROGRAM == "multiframe":
+        from patch_toon_tpu.infer.engine import make_multiframe_fn
+        from patch_toon_tpu.infer.tiling import (bucket_size,
+                                                 pack_boxes_multi,
+                                                 tile_boxes_from_mask)
+
+        h, w, fpd = 512, 910, 3
+        gen, g_vars = build_gen()
+        mask = np.ones((h, w), np.float32)
+        boxes = tile_boxes_from_mask(mask, PS, 30.0)
+        bucket = bucket_size(fpd * len(boxes))
+        fb, wts, _ = pack_boxes_multi([boxes] * fpd, PS, bucket)
+        sets = [jnp.asarray(rng.random((fpd, h, w, C), np.float32) * 2 - 1)
+                for _ in range(3)]
+        consts = (jnp.asarray(fb), jnp.asarray(wts),
+                  jnp.asarray(np.stack([mask] * fpd))[..., None])
+
+        raw = make_multiframe_fn(gen, PS, bucket, fpd, h, w, C, DT)
+
+        # raw is already jitted; its __wrapped__ is the traceable python fn
+        def body(frames):
+            return raw.__wrapped__(g_vars, frames, *consts)
+
+        lowered = jax.jit(body).lower(
+            jax.ShapeDtypeStruct((fpd, h, w, C), jnp.float32))
+        return lowered, sets, fpd, "ms/frame", lambda out: out[0][0, 0, 0]
+    if PROGRAM == "train":
+        from patch_toon_tpu.train import StyleTransferModel, make_train_step
+
+        batch_size = 80
+        model = StyleTransferModel(
+            generator_config={"type": "GeneratorJ", "args": dict(
+                input_channels=6, use_bias=True, tanh=True,
+                append_smoothers=True, resnet_blocks=7,
+                filters=[32, 64, 128, 128, 128, 64])},
+            discriminator_config={"type": "DiscriminatorN_IN", "args": dict(
+                num_filters=12, n_layers=2, use_noise=False,
+                norm_layer="instance_norm", use_bias=True,
+                input_channels=3)},
+            training_config=dict(
+                batch_size=batch_size, reconstruction_weight=4.0,
+                adversarial_weight=0.5, use_image_loss=True,
+                reconstruction_criterion="L1Loss",
+                adversarial_criterion="MSELoss",
+                use_gradient_clipping=True, gradient_clip_val=0.5,
+                precision="bf16"),
+            optimizer_config=dict(
+                generator=dict(lr=4e-4, betas=[0.9, 0.999],
+                               weight_decay=1e-5),
+                discriminator=dict(lr=4e-4, betas=[0.9, 0.999],
+                                   weight_decay=1e-5)),
+            data_config=dict(patch_size=PS, additional_channels={
+                "point_vector": {"path": "unused", "depth": 3}}),
+            perception_loss_config={
+                "weight": 6.0,
+                "perception_model": {"type": "PerceptualVGG19", "args": {
+                    "feature_layers": [0, 3, 5],
+                    "use_normalization": False, "path": None}}},
+        )
+        state = model.init_state(jax.random.PRNGKey(0), patch_size=PS)
+        rng_j = jax.random.PRNGKey(1)
+        batch = {
+            "pre": jax.random.uniform(rng_j, (batch_size, PS, PS, 3)) * 2 - 1,
+            "post": jax.random.uniform(rng_j, (batch_size, PS, PS, 3)) * 2 - 1,
+            "channels": jax.random.uniform(
+                rng_j, (batch_size, PS, PS, 3)) * 2 - 1,
+        }
+        step = make_train_step(model, donate=False, xla_options="none")
+
+        def body(st, r):
+            return step.__wrapped__(st, batch, r)
+
+        lowered = jax.jit(body).lower(state, rng_j)
+        sets = [jax.random.fold_in(rng_j, i) for i in range(3)]
+        return lowered, (state, sets), batch_size, "patches/ms", None
+    raise SystemExit(f"unknown --program {PROGRAM}")
+
+
+def main():
+    lowered, sets, units, unit_name, _slice = make_program()
     fns = []
     for label, opts in CANDIDATES:
         fn = lowered.compile(compiler_options=opts) if opts \
             else lowered.compile()
         fns.append((label, fn))
 
-    # correctness: every candidate must match the default compile
-    ref = np.asarray(fns[0][1](sets[0]))
-    for label, fn in fns[1:]:
-        got = np.asarray(fn(sets[0]))
-        same = np.array_equal(ref, got)
-        close = np.allclose(ref.astype(np.float32), got.astype(np.float32),
-                            atol=1e-2)
-        print(f"{label:12s} bitwise={same} close={close}", flush=True)
-        assert close, f"{label} output diverges from default compile"
+    if PROGRAM == "train":
+        state, rngs = sets
+
+        def call(fn, i):
+            _, m = fn(state, rngs[i % 3])
+            return m["g_total_loss"]
+
+        ref = float(fns[0][1](state, rngs[0])[1]["g_total_loss"])
+        for label, fn in fns[1:]:
+            got = float(fn(state, rngs[0])[1]["g_total_loss"])
+            print(f"{label:12s} ref_loss={ref:.6f} got={got:.6f}", flush=True)
+            assert abs(got - ref) < 1e-2 * max(1.0, abs(ref))
+    else:
+        def call(fn, i):
+            return fn(sets[i % 3])
+
+        ref = np.asarray(fns[0][1](sets[0]))
+        for label, fn in fns[1:]:
+            got = np.asarray(fn(sets[0]))
+            if isinstance(ref, tuple):
+                ref, got = ref[0], got[0]
+            close = np.allclose(np.asarray(ref, np.float32),
+                                np.asarray(got, np.float32), atol=1e-2)
+            print(f"{label:12s} close={close}", flush=True)
+            assert close, f"{label} output diverges from default compile"
+
+    def drain(out):
+        # 4-byte fetch that forces the queued stream to finish
+        np.asarray(jnp.ravel(jax.tree.leaves(out)[0])[:1])
 
     def window(fn):
-        # Fetch a 4-byte device-side sum instead of the 9.8MB output: the
-        # tunnel's transport time varies by hundreds of ms per fetch, which
-        # swamps the dispatch-difference. The sum is dispatched after the
-        # queued generator calls, so fetching it drains the whole stream.
         def timed(k):
             out = None
-            t0 = time.perf_counter()
             for i in range(k):
-                out = fn(sets[i % 3])
-            float(jnp.sum(out[0, 0, 0]))
-            return time.perf_counter() - t0
+                out = call(fn, i)
+            drain(out)
 
-        return (timed(2 * N) - timed(N)) / N
+        t0 = time.perf_counter()
+        timed(N)
+        t1 = time.perf_counter()
+        timed(2 * N)
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / N
 
     for _, fn in fns:  # warm
-        np.asarray(fn(sets[0])).ravel()[:8]
+        drain(call(fn, 0))
 
     order_rng = np.random.default_rng(1)
     times = {label: [] for label, _ in fns}
     for r in range(ROUNDS):
-        idx = order_rng.permutation(len(fns))
-        for i in idx:
+        for i in order_rng.permutation(len(fns)):
             label, fn = fns[i]
             times[label].append(window(fn))
-        best = {lb: min(ts) * 1e6 / B for lb, ts in times.items()}
         print(f"round {r}: " + "  ".join(
-            f"{lb}={v:.1f}" for lb, v in best.items()) + " us/tile(min)",
+            f"{lb}={min(ts) * 1e3:.2f}ms" for lb, ts in times.items()),
             flush=True)
 
-    summary = {lb: {"min_us_per_tile": min(ts) * 1e6 / B,
-                    "median_us_per_tile":
-                        float(np.median(ts)) * 1e6 / B,
-                    "windows": [t * 1e3 for t in ts]}
-               for lb, ts in times.items()}
-    for lb, s in summary.items():
-        print(f"{lb:12s} min {s['min_us_per_tile']:6.1f}  "
-              f"median {s['median_us_per_tile']:6.1f} us/tile")
+    summary = {}
+    for lb, ts in times.items():
+        mn, md = min(ts), float(np.median(ts))
+        if unit_name == "us/tile":
+            disp = f"min {mn * 1e6 / units:6.1f}  median " \
+                   f"{md * 1e6 / units:6.1f} us/tile"
+        elif unit_name == "ms/frame":
+            disp = f"min {mn * 1e3 / units:6.2f}  median " \
+                   f"{md * 1e3 / units:6.2f} ms/frame"
+        else:
+            disp = f"min {units / (mn * 1e3):6.1f}  median " \
+                   f"{units / (md * 1e3):6.1f} patches/ms"
+        print(f"{lb:12s} {disp}")
+        summary[lb] = {"min_s": mn, "median_s": md,
+                       "windows_ms": [t * 1e3 for t in ts]}
     if JSON_OUT:
         Path(JSON_OUT).parent.mkdir(parents=True, exist_ok=True)
         Path(JSON_OUT).write_text(json.dumps(
-            {"bucket": B, "rounds": ROUNDS, "summary": summary}, indent=1))
+            {"program": PROGRAM, "bucket": B, "rounds": ROUNDS,
+             "units_per_call": units, "summary": summary}, indent=1))
         print(f"wrote {JSON_OUT}")
 
 
