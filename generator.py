@@ -35,6 +35,21 @@ def main(argv=None) -> None:
     if not bool(cfg.inference.get("use_gpu", True)):
         jax.config.update("jax_platforms", "cpu")
 
+    # Multi-host pod streaming (parallel.dcn.enabled=true, one process per
+    # host): join the jax.distributed cluster before any device query. Each
+    # worker then stylizes its round-robin share of the frames on its own
+    # local chips — per-frame stylization is stateless, so the hosts never
+    # communicate (see infer.engine.process_directory).
+    dcn_cfg = cfg.get("parallel", {}).get("dcn", {}) or {}
+    if bool(dcn_cfg.get("enabled", False)):
+        from patch_toon_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=dcn_cfg.get("coordinator_address"),
+            num_processes=dcn_cfg.get("num_processes"),
+            process_id=dcn_cfg.get("process_id"),
+        )
+
     from patch_toon_tpu.infer import StyleTransferInference
 
     try:

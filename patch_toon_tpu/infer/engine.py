@@ -571,6 +571,18 @@ class StyleTransferInference:
         # slice of the frame list (inference.file_shard: "i/N") and drives
         # its own local chips (optionally with inference.devices > 1).
         shard = self.cfg.get("inference", {}).get("file_shard")
+        if shard is None and jax.process_count() > 1:
+            if self.temporal_enabled:
+                self.logger.warning(
+                    "Multi-host run with the temporal guide: frames chain "
+                    "sequentially, so only process 0 stylizes (shard whole "
+                    "videos across hosts instead)")
+                if jax.process_index() != 0:
+                    return
+            else:
+                # multi-host pod streaming: round-robin frame partition per
+                # process (stateless per-frame work, no communication)
+                shard = f"{jax.process_index()}/{jax.process_count()}"
         if shard:
             if self.temporal_enabled:
                 raise ValueError(
@@ -686,8 +698,15 @@ class StyleTransferInference:
         if self._mesh is None:
             from patch_toon_tpu.parallel import make_mesh, replicate
 
+            # Multi-host runs build a LOCAL mesh: frames are partitioned
+            # across hosts by file_shard (stateless per-frame work), so each
+            # process drives only its own chips and no cross-host collective
+            # program is ever compiled.
+            local = (jax.local_devices() if jax.process_count() > 1
+                     else None)
             self._mesh = make_mesh(
-                data=self.devices if self.devices != 1 else -1)
+                data=self.devices if self.devices != 1 else -1,
+                devices=local)
             self._g_vars_sharded = replicate(self.g_vars, self._mesh)
             self.logger.info(f"Pod inference mesh: {self._mesh}")
 

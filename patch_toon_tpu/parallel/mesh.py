@@ -67,9 +67,11 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     values; single-process meshes are a plain device_put.
     """
     sh = replicated_sharding(mesh)
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 and not sh.is_fully_addressable:
         def rep(x):
             x = np.asarray(x)
             return jax.make_array_from_process_local_data(sh, x, x.shape)
         return jax.tree.map(rep, tree)
+    # single process, or a process-LOCAL mesh inside a multi-host run
+    # (pod inference shards frames across hosts instead of devices)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -130,14 +130,42 @@ class CheckpointManager:
         return state.replace(**updates)
 
 
+def _local_checkpointer() -> ocp.StandardCheckpointer:
+    """A checkpointer whose barriers are process-LOCAL.
+
+    Multi-host pod inference partitions frames across hosts with zero
+    communication (infer.engine.process_directory); each process restores the
+    (identical, read-only) checkpoint independently. Orbax's default restore
+    inserts a cross-process barrier, which both serializes the hosts and
+    deadlocks if they reach restore at different times — a single-member
+    ``active_processes`` set makes orbax skip every barrier."""
+    me = jax.process_index()
+    return ocp.StandardCheckpointer(
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me}))
+
+
 def restore_generator(path: str) -> Tuple[Any, Any]:
     """Raw-restore only the generator (params, batch_stats) from an orbax dir.
 
     Used by inference, where the restore target has no discriminator/optimizer
     state (the checkpoint may have been written by a full GAN training run).
     """
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(Path(path).absolute())
+    ckptr = _local_checkpointer()
+    p = Path(path).absolute()
+    if jax.process_count() > 1:
+        # The saved sharding metadata names the WRITER's devices; restore
+        # against an abstract target pinned to this process's device 0
+        # instead (params are replicated to the local mesh afterwards).
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=sharding),
+            dict(ckptr.metadata(p).item_metadata),
+        )
+        restored = ckptr.restore(p, abstract)
+    else:
+        restored = ckptr.restore(p)
     return restored["g_params"], restored.get("g_batch_stats", {})
 
 
@@ -152,7 +180,7 @@ def sniff_input_channels(ckpt_path: str) -> Optional[int]:
         meta = CheckpointManager.read_meta(ckpt_path)
         if "input_channels" in meta:
             return int(meta["input_channels"])
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = _local_checkpointer()
         try:
             # Shape-only metadata read: no array data leaves disk.
             md = ckptr.metadata(p.absolute())

@@ -33,15 +33,19 @@ import numpy as np
 
 from patch_toon_tpu.models import GeneratorJ
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+JSON_OUT = None
+PROGRAM = "gen"
+args, argv = [], sys.argv[1:]
+while argv:
+    a = argv.pop(0)
+    if a == "--json":
+        JSON_OUT = argv.pop(0)
+    elif a == "--program":
+        PROGRAM = argv.pop(0)
+    else:
+        args.append(a)
 B = int(args[0]) if len(args) > 0 else 512
 ROUNDS = int(args[1]) if len(args) > 1 else 10
-JSON_OUT = None
-if "--json" in sys.argv:
-    JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
-PROGRAM = "gen"
-if "--program" in sys.argv:
-    PROGRAM = sys.argv[sys.argv.index("--program") + 1]
 PS, C, N = 80, 6, 8
 DT = jnp.bfloat16
 
@@ -175,14 +179,20 @@ def main():
         def call(fn, i):
             return fn(sets[i % 3])
 
-        ref = np.asarray(fns[0][1](sets[0]))
+        def float_out(fn):
+            out = fn(sets[0])
+            # multiframe returns (u8, float canvas); compare the float one
+            # (u8 legitimately flips by 1 count when fusion changes rounding)
+            if isinstance(out, tuple):
+                out = out[-1]
+            return np.asarray(out, np.float32)
+
+        ref = float_out(fns[0][1])
         for label, fn in fns[1:]:
-            got = np.asarray(fn(sets[0]))
-            if isinstance(ref, tuple):
-                ref, got = ref[0], got[0]
-            close = np.allclose(np.asarray(ref, np.float32),
-                                np.asarray(got, np.float32), atol=1e-2)
-            print(f"{label:12s} close={close}", flush=True)
+            got = float_out(fn)
+            close = np.allclose(ref, got, atol=1e-2)
+            print(f"{label:12s} close={close} "
+                  f"max_abs={np.abs(ref - got).max():.2e}", flush=True)
             assert close, f"{label} output diverges from default compile"
 
     def drain(out):
