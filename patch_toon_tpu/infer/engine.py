@@ -792,10 +792,13 @@ class StyleTransferInference:
         (backward direction). Frame 0 bootstraps with its own RGB. The
         previous output stays on device in [-1, 1]; only the uint8 frame is
         fetched. The chain is inherently sequential (frame i depends on
-        i-1), so device dispatches can't pipeline — but host decode can:
-        frame i+1 decodes in a worker thread while the device stylizes
-        frame i. Requires a checkpoint trained with the matching temporal
-        channels (see tools/temporal_guide.py).
+        i-1), so device dispatches can't pipeline — but everything around
+        them can: frame i+1's decode and flow .npy load run in a worker
+        thread while the device stylizes frame i, and frame i's uint8
+        readback (the tunnel's 8-90 ms/frame) overlaps frame i+1's compute,
+        since only the DEVICE-resident float output feeds the chain. Requires
+        a checkpoint trained with the matching temporal channels (see
+        tools/temporal_guide.py).
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -805,40 +808,64 @@ class StyleTransferInference:
 
         flow_dir = Path(self.temporal_flow_dir) if self.temporal_flow_dir \
             else None
+
+        def load_flow(i: int):
+            if flow_dir is None:
+                return None
+            flow_path = flow_dir / (f"{self.temporal_format % i}.npy")
+            if not flow_path.exists():
+                return None
+            return np.load(str(flow_path))
+
         prev_float = None
+        pending = None  # (u8 device array, save_path, boxes) being read back
         pool = ThreadPoolExecutor(max_workers=1)
         futures = {0: pool.submit(load_one, files[0])} if files else {}
+        flow_futures = {0: pool.submit(load_flow, 0)} if files else {}
+
+        def drain_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            u8, save_path, boxes = pending
+            pending = None
+            arr = np.asarray(u8)
+            writer.submit(str(save_path), arr)
+            if self.debug_mode:
+                self.patch_positions = boxes
+                self._save_debug_overlay(arr, str(save_path))
+
         for i, input_path in enumerate(tqdm(files, desc="Temporal frames")):
             if i + 1 < len(files):
                 futures[i + 1] = pool.submit(load_one, files[i + 1])
+                flow_futures[i + 1] = pool.submit(load_flow, i + 1)
             try:
                 frame, mask = futures.pop(i).result()
+                flow = flow_futures.pop(i).result()
                 if prev_float is None or flow_dir is None:
                     guide = jnp.asarray(frame[:, :, :3])
+                elif flow is not None:
+                    guide = warp_image(prev_float, jnp.asarray(flow))
                 else:
-                    flow_path = flow_dir / (
-                        f"{self.temporal_format % i}.npy")
-                    if flow_path.exists():
-                        flow = jnp.asarray(np.load(str(flow_path)))
-                        guide = warp_image(prev_float, flow)
-                    else:
-                        self.logger.warning(
-                            f"No flow for frame {i} ({flow_path}); using "
-                            f"unwarped previous output")
-                        guide = prev_float
+                    self.logger.warning(
+                        f"No flow for frame {i} "
+                        f"({flow_dir / (self.temporal_format % i)}.npy); "
+                        f"using unwarped previous output")
+                    guide = prev_float
                 guide = guide[..., : self.temporal_depth]
                 full = jnp.concatenate(
                     [jnp.asarray(frame), guide.astype(jnp.float32)], axis=-1)
                 u8, out_float, boxes = self._stylize_device(full, mask)
                 prev_float = out_float
-                arr = np.asarray(u8)
-                writer.submit(str(output_dir / input_path.name), arr)
-                if self.debug_mode:
-                    self.patch_positions = boxes
-                    self._save_debug_overlay(
-                        arr, str(output_dir / input_path.name))
+                try:
+                    u8.copy_to_host_async()
+                except Exception:
+                    pass
+                drain_pending()  # previous frame's readback, now overlapped
+                pending = (u8, output_dir / input_path.name, boxes)
             except Exception as e:
                 self.logger.error(f"Failed to process {input_path.name}: {e}")
                 prev_float = None  # restart the temporal chain
                 continue
+        drain_pending()
         pool.shutdown(wait=False)
