@@ -15,7 +15,12 @@ Programs:
   train      - the fused GAN train step (batch 80)
 
 Usage: python tools/ab_xla_flags.py [--program gen] [bucket] [rounds]
-                                    [--json out.json]
+                                    [--candidates default|fine] [--json out.json]
+
+Measured (v5e, docs/perf/xla_ab_*.json): vmem_32m wins the generator
+(-17%: 131 -> 109 us/tile at B=512) and the full multiframe program
+(-11%: 23.3 -> 20.7 ms/frame), and is neutral on the train step (+-0.4%)
+— so resolve_xla_options("auto") ships it for every TPU compile.
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ from patch_toon_tpu.models import GeneratorJ
 
 JSON_OUT = None
 PROGRAM = "gen"
+CAND_SET = "default"
 args, argv = [], sys.argv[1:]
 while argv:
     a = argv.pop(0)
@@ -42,6 +48,8 @@ while argv:
         JSON_OUT = argv.pop(0)
     elif a == "--program":
         PROGRAM = argv.pop(0)
+    elif a == "--candidates":
+        CAND_SET = argv.pop(0)
     else:
         args.append(a)
 B = int(args[0]) if len(args) > 0 else 512
@@ -53,6 +61,22 @@ CANDIDATES = [
     ("default", {}),
     ("vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
 ]
+
+# finer sweep around the winner (--candidates fine): is 32 MiB a plateau or
+# a peak, and do the other helpful-looking toggles compose with it?
+FINE_CANDIDATES = [
+    ("vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ("vmem_28m", {"xla_tpu_scoped_vmem_limit_kib": "28672"}),
+    ("vmem_36m", {"xla_tpu_scoped_vmem_limit_kib": "36864"}),
+    ("vmem_40m", {"xla_tpu_scoped_vmem_limit_kib": "40960"}),
+    ("v32_norwb", {"xla_tpu_scoped_vmem_limit_kib": "32768",
+                   "xla_tpu_rwb_fusion": "false"}),
+    ("v32_licm2", {"xla_tpu_scoped_vmem_limit_kib": "32768",
+                   "xla_tpu_licm_size_inflation_ratio": "2"}),
+]
+
+if CAND_SET == "fine":
+    CANDIDATES = [CANDIDATES[0]] + FINE_CANDIDATES
 
 
 def build_gen():
