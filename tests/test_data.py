@@ -133,17 +133,47 @@ def test_permutation_sampling_without_replacement(platinum_dirs):
         patch_size=32,
         sampling="permutation",
     )
-    # draw a bounded number of picks for image 0 and check uniqueness
+    # host queue variant (reference's exact pop/refill order): uniqueness
     count0 = int(ds.counts_np[0])
     draws = min(count0, 500)
-    picks = ds._perm_next(np.zeros(draws, np.int64))
+    picks = ds._perm_next_host(np.zeros(draws, np.int64))
     assert len(set(picks.tolist())) == draws  # no repeats within the pool
 
-    batch = ds.sample_batch_permutation(8)
-    assert batch["pre"].shape == (8, 32, 32, 3)
+    # device sampler: fresh perms are true permutations of each pool
+    state = ds.init_perm_state(jax.random.PRNGKey(3))
+    perm_np = np.asarray(state["perm"])
+    for i in range(ds.num_images):
+        ci = int(ds.counts_np[i])
+        assert sorted(perm_np[i, :ci].tolist()) == list(range(ci))
+
+    # draws advance each image's cursor by its in-batch count and never
+    # repeat a slot before its pool wraps (numpy model of the device math)
+    B = 8
+    draw = jax.jit(lambda s, r: ds.sample_batch_permutation(s, r, B))
+    cursors = np.zeros(ds.num_images, np.int64)
+    seen = [set() for _ in range(ds.num_images)]
+    st = state
+    for t in range(4):
+        rng = jax.random.PRNGKey(100 + t)
+        k_img, _, _ = jax.random.split(rng, 3)
+        imgs = np.asarray(jax.random.randint(k_img, (B,), 0, ds.num_images))
+        st, batch = draw(st, rng)
+        assert batch["pre"].shape == (B, 32, 32, 3)
+        for i in imgs:
+            slot = int(perm_np[i, cursors[i] % ds.counts_np[i]])
+            assert slot not in seen[i]
+            seen[i].add(slot)
+            cursors[i] += 1
+        np.testing.assert_array_equal(
+            np.asarray(st["cursor"]), cursors % ds.counts_np)
+
+    # make_sampler: stateful one-dispatch closure — same rng key with
+    # advanced state must yield different patches
     sampler = ds.make_sampler(8)
-    batch2 = sampler(jax.random.PRNGKey(0))
-    assert batch2["post"].shape == (8, 32, 32, 3)
+    b1 = sampler(jax.random.PRNGKey(0))
+    b2 = sampler(jax.random.PRNGKey(0))
+    assert b1["post"].shape == (8, 32, 32, 3)
+    assert not np.array_equal(np.asarray(b1["pre"]), np.asarray(b2["pre"]))
 
 
 def test_multi_sequence_dataset(platinum_dirs, reference_path):
