@@ -239,16 +239,10 @@ def make_pod_tiled_fn(generator, patch_size: int, bucket: int,
                    compiler_options=compiler_options)
 
 
-def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,
-                       h: int, w: int, c: int, dtype,
-                       compiler_options=None) -> Any:
-    """Several frames' tiles in ONE generator batch (tiled semantics kept).
-
-    Co-batching frames fills the pow2 tile bucket (see
-    tiling.frames_per_dispatch) — e.g. 3x170-tile 512p frames run at ~43
-    eq-frames/s vs ~33 single-frame on a v5e chip. Per-tile math is identical
-    to make_frame_fn; only the batching changes.
-    """
+def _multiframe_body(generator, patch_size: int, bucket: int, n_frames: int,
+                     h: int, w: int, c: int, dtype) -> Any:
+    """Traceable body shared by make_multiframe_fn (single chip) and
+    make_pod_multiframe_fn (vmapped over a device axis)."""
     ps = patch_size
 
     def fn(g_vars, frames, fboxes, weights, masks):
@@ -310,7 +304,52 @@ def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,
             jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)).astype(jnp.uint8)
         return u8, out
 
+    return fn
+
+
+def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,
+                       h: int, w: int, c: int, dtype,
+                       compiler_options=None) -> Any:
+    """Several frames' tiles in ONE generator batch (tiled semantics kept).
+
+    Co-batching frames fills the pow2 tile bucket (see
+    tiling.frames_per_dispatch) — e.g. 3x170-tile 512p frames run at ~43
+    eq-frames/s vs ~33 single-frame on a v5e chip. Per-tile math is identical
+    to make_frame_fn; only the batching changes.
+    """
+    fn = _multiframe_body(generator, patch_size, bucket, n_frames, h, w, c,
+                          dtype)
     return jax.jit(fn, compiler_options=compiler_options)
+
+
+def make_pod_multiframe_fn(generator, patch_size: int, bucket: int,
+                           fpd: int, h: int, w: int, c: int, dtype,
+                           mesh=None, compiler_options=None) -> Any:
+    """Pod x co-batched tiled inference: each device runs the fpd-frame
+    multiframe program on its own frame chunk (frames chunked consecutively,
+    chunks sharded over the mesh batch axes). Combines the pod path's
+    linear chip scaling with co-batching's full pow2 tile buckets (~26%
+    per-chip win over one-frame-per-chip at 170-tile 512p frames). Per-tile
+    math identical to the single-chip programs (reference
+    generator.py:427-565 semantics)."""
+    body = _multiframe_body(generator, patch_size, bucket, fpd, h, w, c,
+                            dtype)
+
+    def fn(g_vars, frames, fboxes, weights, masks):
+        # frames (D,fpd,H,W,C); fboxes (D,B,5); weights (D,B,ps,ps);
+        # masks (D,fpd,H,W,1)
+        return jax.vmap(
+            lambda f, b, wt, m: body(g_vars, f, b, wt, m)
+        )(frames, fboxes, weights, masks)
+
+    if mesh is None:
+        return jax.jit(fn, compiler_options=compiler_options)
+
+    from patch_toon_tpu.parallel.mesh import batch_sharding
+
+    b_shard = batch_sharding(mesh)
+    return jax.jit(fn, out_shardings=(b_shard, b_shard),
+                   compiler_options=compiler_options)
 
 
 class StyleTransferInference:
@@ -651,10 +690,15 @@ class StyleTransferInference:
         if self.mode == "fullframe":
             group_size = 1  # fullframe is already one whole-frame pass
         if self.devices != 1:
-            # pod streaming: one frame per chip per dispatch (frames shard
-            # over the mesh 'data' axis; no cross-chip communication)
+            # pod streaming: frames shard over the mesh 'data' axis (no
+            # cross-chip communication). Fullframe: one frame per chip.
+            # Tiled: fpd frames per chip per dispatch, fpd decided from
+            # frame 0 exactly like single-chip co-batching.
             self._ensure_mesh()
-            group_size = self._mesh.devices.size
+            if self.mode == "fullframe":
+                group_size = self._mesh.devices.size
+            else:
+                group_size = None  # D * frames_per_dispatch, set below
 
         PREFETCH = 6  # bound decoded-frame memory to O(PREFETCH)
         group = []
@@ -673,10 +717,21 @@ class StyleTransferInference:
                     boxes = tile_boxes_from_mask(
                         eff_mask, self.patch_size, self.overlap_percent)
                     if group_size is None:
-                        group_size = frames_per_dispatch(max(1, len(boxes)))
-                        self.logger.info(
-                            f"Co-batching {group_size} frames/dispatch "
-                            f"(~{len(boxes)} tiles/frame)")
+                        fpd = frames_per_dispatch(max(1, len(boxes)))
+                        if fpd_cfg != "auto":
+                            fpd = max(1, int(fpd_cfg))
+                        if self.devices != 1:
+                            self._pod_fpd = fpd
+                            group_size = self._mesh.devices.size * fpd
+                            self.logger.info(
+                                f"Pod co-batching: {fpd} frames/chip x "
+                                f"{self._mesh.devices.size} chips/dispatch "
+                                f"(~{len(boxes)} tiles/frame)")
+                        else:
+                            group_size = fpd
+                            self.logger.info(
+                                f"Co-batching {group_size} frames/dispatch "
+                                f"(~{len(boxes)} tiles/frame)")
                     group.append((frame, eff_mask, boxes, input_path))
                     if len(group) >= group_size:
                         dispatch_group(group)
@@ -711,24 +766,26 @@ class StyleTransferInference:
             self.logger.info(f"Pod inference mesh: {self._mesh}")
 
     def _stylize_group_pod(self, frames, masks, group_boxes):
-        """Dispatch a frame group sharded over the mesh 'data' axis: each
-        chip runs its own frame's full tile (or fullframe) program. Short
-        final groups are padded by repeating the last frame; the caller
-        only reads the real rows."""
+        """Dispatch a frame group sharded over the mesh 'data' axis.
+
+        Fullframe: one frame per chip. Tiled: consecutive chunks of
+        ``self._pod_fpd`` frames per chip, each chip running the co-batched
+        multiframe tile program on its chunk. Short final groups are padded
+        by repeating the last frame; the caller only reads the real rows."""
+        from patch_toon_tpu.infer.tiling import pack_boxes_multi
         from patch_toon_tpu.parallel import batch_sharding
 
         self._ensure_mesh()
         mesh = self._mesh
         sh = batch_sharding(mesh)
-        F = mesh.devices.size
+        D = mesh.devices.size
         n_real = len(frames)
-        frames = list(frames) + [frames[-1]] * (F - n_real)
-        masks = list(masks) + [masks[-1]] * (F - n_real)
-        group_boxes = list(group_boxes) + [group_boxes[-1]] * (F - n_real)
         h, w, c = frames[0].shape
 
         if self.mode == "fullframe":
-            key = ("pod_ff", F, h, w, c)
+            frames = list(frames) + [frames[-1]] * (D - n_real)
+            masks = list(masks) + [masks[-1]] * (D - n_real)
+            key = ("pod_ff", D, h, w, c)
             if key not in self._frame_fns:
                 self._frame_fns[key] = make_batched_fullframe_fn(
                     self.model.generator, h, w, c, self.dtype, mesh,
@@ -741,25 +798,34 @@ class StyleTransferInference:
                         jnp.asarray(np.stack(masks))[..., None], sh))
             return u8[:n_real]
 
-        bucket = bucket_size(max(1, max(len(b) for b in group_boxes)))
-        bx = np.zeros((F, bucket, 4), np.int32)
-        wts = np.zeros((F, bucket, self.patch_size, self.patch_size),
+        fpd = getattr(self, "_pod_fpd", 1)
+        total = D * fpd
+        frames = list(frames) + [frames[-1]] * (total - n_real)
+        masks = list(masks) + [masks[-1]] * (total - n_real)
+        group_boxes = list(group_boxes) + [group_boxes[-1]] * (total - n_real)
+        chunks = [group_boxes[i * fpd:(i + 1) * fpd] for i in range(D)]
+        bucket = bucket_size(
+            max(1, max(sum(len(b) for b in ch) for ch in chunks)))
+        fb = np.zeros((D, bucket, 5), np.int32)
+        wts = np.zeros((D, bucket, self.patch_size, self.patch_size),
                        np.float32)
-        for i, boxes in enumerate(group_boxes):
-            bx[i], wts[i], _ = pack_boxes(boxes, self.patch_size, bucket)
-        key = ("pod", F, h, w, c, bucket)
+        for i, ch in enumerate(chunks):
+            fb[i], wts[i], _ = pack_boxes_multi(ch, self.patch_size, bucket)
+        key = ("podmf", D, fpd, h, w, c, bucket)
         if key not in self._frame_fns:
-            self._frame_fns[key] = make_pod_tiled_fn(
-                self.model.generator, self.patch_size, bucket, h, w, c,
+            self._frame_fns[key] = make_pod_multiframe_fn(
+                self.model.generator, self.patch_size, bucket, fpd, h, w, c,
                 self.dtype, mesh, compiler_options=self.xla_options)
+        fr = np.stack(frames).reshape(D, fpd, h, w, c)
+        mk = np.stack(masks).reshape(D, fpd, h, w)[..., None]
         with mesh:
             u8, _ = self._frame_fns[key](
                 self._g_vars_sharded,
-                jax.device_put(jnp.asarray(np.stack(frames)), sh),
-                jax.device_put(jnp.asarray(bx), sh),
+                jax.device_put(jnp.asarray(fr), sh),
+                jax.device_put(jnp.asarray(fb), sh),
                 jax.device_put(jnp.asarray(wts), sh),
-                jax.device_put(jnp.asarray(np.stack(masks))[..., None], sh))
-        return u8[:n_real]
+                jax.device_put(jnp.asarray(mk), sh))
+        return u8.reshape(total, h, w, 3)[:n_real]
 
     def _stylize_group(self, frames, masks, group_boxes):
         """Dispatch a co-batched group through the multiframe tiled program."""

@@ -197,6 +197,64 @@ def test_pod_tiled_inference_on_mesh():
                       - np.asarray(ref_u8).astype(int)).max() <= 1
 
 
+def test_pod_multiframe_inference_on_mesh():
+    """Pod x co-batching: 8 frames in chunks of fpd=2 over 4 devices must
+    equal the single-frame tiled program (per-tile math unchanged)."""
+    from patch_toon_tpu.infer.engine import (
+        make_frame_fn,
+        make_pod_multiframe_fn,
+    )
+    from patch_toon_tpu.infer.tiling import (
+        bucket_size,
+        pack_boxes,
+        pack_boxes_multi,
+        tile_boxes_from_mask,
+    )
+    from patch_toon_tpu.models import GeneratorJ
+
+    h, w, c, ps, D, fpd = 24, 36, 3, 16, 4, 2
+    gen = GeneratorJ(input_channels=3, use_bias=True, resnet_blocks=1,
+                     filters=(4, 8, 8, 8, 8, 4))
+    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, ps, ps, 3)))
+
+    frames = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(1), (D * fpd, h, w, c))) * 2 - 1
+    masks = np.ones((D * fpd, h, w), np.float32)
+    boxes = tile_boxes_from_mask(masks[0], ps, 30.0)
+    bucket = bucket_size(fpd * len(boxes))
+    fb = np.zeros((D, bucket, 5), np.int32)
+    wts = np.zeros((D, bucket, ps, ps), np.float32)
+    for i in range(D):
+        fb[i], wts[i], _ = pack_boxes_multi([boxes] * fpd, ps, bucket)
+
+    mesh = make_mesh(data=D, model=1)
+    pod = make_pod_multiframe_fn(gen, ps, bucket, fpd, h, w, c,
+                                 jnp.float32, mesh)
+    with mesh:
+        g_rep = replicate(g_vars, mesh)
+        sh = batch_sharding(mesh)
+        u8, _ = pod(
+            g_rep,
+            jax.device_put(jnp.asarray(
+                frames.reshape(D, fpd, h, w, c), jnp.float32), sh),
+            jax.device_put(jnp.asarray(fb), sh),
+            jax.device_put(jnp.asarray(wts), sh),
+            jax.device_put(jnp.asarray(
+                masks.reshape(D, fpd, h, w)[..., None]), sh))
+    assert u8.sharding.is_equivalent_to(batch_sharding(mesh), 5)
+    u8 = np.asarray(u8).reshape(D * fpd, h, w, 3)
+
+    sbucket = bucket_size(len(boxes))
+    sbx, swts, _ = pack_boxes(boxes, ps, sbucket)
+    single = make_frame_fn(gen, ps, sbucket, h, w, c, jnp.float32)
+    for i in range(D * fpd):
+        ref_u8, _ = single(g_vars, jnp.asarray(frames[i], jnp.float32),
+                           jnp.asarray(sbx), jnp.asarray(swts),
+                           jnp.asarray(masks[i][..., None]))
+        assert np.abs(u8[i].astype(int)
+                      - np.asarray(ref_u8).astype(int)).max() <= 1, i
+
+
 def test_engine_pod_inference_directory(tmp_path):
     """inference.devices=8 through the real engine: outputs must equal the
     single-device run (frames shard over the mesh; final short group padded)."""
@@ -258,8 +316,10 @@ def test_engine_pod_inference_directory(tmp_path):
 
     run(1, "out1")
     eng8 = run(8, "out8")
-    # the POD program (not the single-frame one) must have served the run
-    assert any(k[0] == "pod" for k in eng8._frame_fns), eng8._frame_fns.keys()
+    # the POD co-batched program (not the single-frame one) must have
+    # served the run
+    assert any(k[0] == "podmf" for k in eng8._frame_fns), \
+        eng8._frame_fns.keys()
     assert dict(eng8._mesh.shape) == {"data": 8, "model": 1}
 
     # multi-host streaming pattern: two file-shard workers together must
