@@ -37,7 +37,6 @@ import numpy as np
 from patch_toon_tpu.data.io import (
     find_corresponding_image,
     load_image_channels,
-    load_image_rgb,
     load_mask,
     save_image_uint8,
 )
@@ -369,6 +368,12 @@ class StyleTransferInference:
         # inference.devices: 1 = single chip; N = frames sharded over an
         # N-chip 'data' mesh (pod streaming); -1 = all chips
         self.devices = int(inf.get("devices", 1))
+        # crop the D2H readback to the stylized (tile-union) bbox; outside
+        # the mask the composite equals the input bytes exactly, so the
+        # frame is reconstructed host-side bit-identically. Big win on
+        # slow/congested transports when the mask covers part of the frame.
+        self.crop_readback = inf.get("crop_readback", "auto") \
+            not in ("off", False, "false")
         from patch_toon_tpu.utils.xla_options import resolve_xla_options
 
         # per-compile XLA option tuning (docs/perf/xla_ab.json); "auto"
@@ -533,15 +538,20 @@ class StyleTransferInference:
         self.patch_positions = boxes
         return np.asarray(u8)
 
-    def _load_frame(self, input_path: str) -> np.ndarray:
-        parts = [load_image_rgb(input_path)]
+    def _load_frame(self, input_path: str,
+                    with_rgb_u8: bool = False) -> Any:
+        from patch_toon_tpu.data.io import _decode_rgb_uint8
+
+        rgb_u8 = _decode_rgb_uint8(input_path)
+        parts = [rgb_u8.astype(np.float32) / 255.0 * 2.0 - 1.0]
         for name, ccfg in self.additional_channels.items():
             cpath = find_corresponding_image(ccfg["path"], input_path)
             if not os.path.exists(cpath):
                 raise FileNotFoundError(
                     f"Required channel {name} not found: {cpath}")
             parts.append(load_image_channels(cpath, ccfg["depth"]))
-        return np.concatenate(parts, axis=-1)
+        frame = np.concatenate(parts, axis=-1)
+        return (frame, rgb_u8) if with_rgb_u8 else frame
 
     def _load_eroded_mask(self, mask_path: str, shape_hw) -> Optional[np.ndarray]:
         mask_dir = os.path.dirname(mask_path)
@@ -636,10 +646,11 @@ class StyleTransferInference:
         self.logger.info(f"Found {len(files)} images to process")
 
         def load_one(input_path: Path):
-            frame = self._load_frame(str(input_path))
+            frame, rgb_u8 = self._load_frame(str(input_path),
+                                             with_rgb_u8=True)
             mask = self._load_eroded_mask(
                 str(mask_dir / input_path.name), frame.shape[:2])
-            return frame, mask
+            return frame, mask, rgb_u8
 
         in_flight: List[Tuple[Any, List[Box], Path]] = []
         writer = FrameWriter(num_threads=2)
@@ -654,13 +665,35 @@ class StyleTransferInference:
             return
 
         def drain_one():
-            out, group_boxes, save_paths = in_flight.pop(0)
-            arr = np.asarray(out)  # (F, H, W, 3)
+            out, group_boxes, save_paths, crop = in_flight.pop(0)
+            arr = np.asarray(out)  # (F, H, W, 3) or cropped (F, bh, bw, 3)
             for k, save_path in enumerate(save_paths):
-                writer.submit(str(save_path), arr[k])
+                if crop is not None:
+                    (y0, y1, x0, x1), rgb_u8s = crop
+                    img = rgb_u8s[k].copy()
+                    img[y0:y1, x0:x1] = arr[k]
+                else:
+                    img = arr[k]
+                writer.submit(str(save_path), img)
                 if self.debug_mode:
                     self.patch_positions = group_boxes[k]
-                    self._save_debug_overlay(arr[k], str(save_path))
+                    self._save_debug_overlay(img, str(save_path))
+
+        def crop_bbox(group_boxes, h, w):
+            """Tile-union bbox padded to 64-multiples (bounds the number of
+            distinct slice shapes, so mask drift doesn't recompile)."""
+            if not self.crop_readback or self.devices != 1 \
+                    or any(len(b) == 0 for b in group_boxes):
+                return None
+            y0 = min(b[0] for bs in group_boxes for b in bs)
+            y1 = max(b[1] for bs in group_boxes for b in bs)
+            x0 = min(b[2] for bs in group_boxes for b in bs)
+            x1 = max(b[3] for bs in group_boxes for b in bs)
+            y0, x0 = (y0 // 64) * 64, (x0 // 64) * 64
+            y1, x1 = min(h, -(-y1 // 64) * 64), min(w, -(-x1 // 64) * 64)
+            if (y1 - y0) * (x1 - x0) >= 0.85 * h * w:
+                return None  # near-full frame: cropping saves nothing
+            return y0, y1, x0, x1
 
         def dispatch_group(group):
             frames = [g[0] for g in group]
@@ -674,11 +707,18 @@ class StyleTransferInference:
                 out = u8[None]
             else:
                 out = self._stylize_group(frames, masks, group_boxes)
+            crop = None
+            bbox = crop_bbox(group_boxes, *frames[0].shape[:2])
+            self._last_crop = bbox  # introspection/tests
+            if bbox is not None:
+                y0, y1, x0, x1 = bbox
+                out = out[:, y0:y1, x0:x1]
+                crop = (bbox, [g[4] for g in group])
             try:
                 out.copy_to_host_async()
             except Exception:
                 pass
-            in_flight.append((out, group_boxes, paths))
+            in_flight.append((out, group_boxes, paths, crop))
             if len(in_flight) > 2:
                 drain_one()
 
@@ -711,7 +751,7 @@ class StyleTransferInference:
                     nxt = files[i + PREFETCH]
                     futures[nxt] = pool.submit(load_one, nxt)
                 try:
-                    frame, mask = futures.pop(input_path).result()
+                    frame, mask, rgb_u8 = futures.pop(input_path).result()
                     eff_mask = mask if mask is not None else np.ones(
                         frame.shape[:2], np.float32)
                     boxes = tile_boxes_from_mask(
@@ -732,7 +772,7 @@ class StyleTransferInference:
                             self.logger.info(
                                 f"Co-batching {group_size} frames/dispatch "
                                 f"(~{len(boxes)} tiles/frame)")
-                    group.append((frame, eff_mask, boxes, input_path))
+                    group.append((frame, eff_mask, boxes, input_path, rgb_u8))
                     if len(group) >= group_size:
                         dispatch_group(group)
                         group = []
@@ -906,7 +946,7 @@ class StyleTransferInference:
                 futures[i + 1] = pool.submit(load_one, files[i + 1])
                 flow_futures[i + 1] = pool.submit(load_flow, i + 1)
             try:
-                frame, mask = futures.pop(i).result()
+                frame, mask, _ = futures.pop(i).result()
                 flow = flow_futures.pop(i).result()
                 if prev_float is None or flow_dir is None:
                     guide = jnp.asarray(frame[:, :, :3])

@@ -18,11 +18,15 @@ from typing import Any, Dict, Optional
 
 import jax
 
-# Winner of tools/ab_xla_flags.py on v5e (see docs/perf/xla_ab.json):
-# raising the scoped-VMEM budget to 32 MiB lets the conv fusions tile
-# without HBM round-trips at the generator's 80x80 tile shapes.
+# Winner of tools/ab_xla_flags.py on v5e (docs/perf/xla_ab*.json): raising
+# the scoped-VMEM budget lets the conv fusions tile without HBM round-trips
+# at the generator's 80x80 tile shapes. 28 MiB vs default: generator -17%
+# (131 -> ~108 us/tile at B=512), full multiframe tiled program -19%
+# (23.3 -> 19.0 ms/frame min); 28 vs 32 MiB is a wash on the bare generator
+# but ~6% better on the full program; >=48 MiB is catastrophic (10x);
+# train step insensitive (+-0.4%).
 TUNED_TPU_OPTIONS: Dict[str, str] = {
-    "xla_tpu_scoped_vmem_limit_kib": "32768",
+    "xla_tpu_scoped_vmem_limit_kib": "28672",
 }
 
 

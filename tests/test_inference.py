@@ -314,3 +314,74 @@ def test_engine_groups_frames(synthetic_scene, tmp_path):
     assert len(outs[1]) == len(outs[2]) == 2
     for a, b in zip(outs[1], outs[2]):
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_crop_readback_byte_identical(tmp_path):
+    """crop_readback fetches only the stylized bbox and reconstructs the
+    frame from the input bytes — outputs must be byte-identical to the
+    full-readback run (and the crop path must actually engage)."""
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+    from patch_toon_tpu.train import StyleTransferModel
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+    rng = np.random.default_rng(5)
+    scene = tmp_path / "scene"
+    for sub in ("input", "mask"):
+        (scene / sub).mkdir(parents=True)
+    h, w = 160, 256
+    mask = np.zeros((h, w), np.uint8)
+    mask[40:80, 64:128] = 255  # small mask: bbox well under the 85% cutoff
+    for i in range(3):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(scene / "input" / f"{i:03d}.png")
+        Image.fromarray(mask).save(scene / "mask" / f"{i:03d}.png")
+
+    g_args = dict(input_channels=3, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=1,
+                  filters=[4, 8, 8, 8, 8, 4], norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=16, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    CheckpointManager(
+        tmp_path / "ckpt",
+        meta={"input_channels": 3, "generator_args": g_args,
+              "patch_size": 16},
+    ).save(state, epoch=0, score=1.0)
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    engines = {}
+    for crop in ("auto", "off"):
+        icfg = compose(root / "config", "inference", overrides=[
+            f"paths.checkpoint={tmp_path}/ckpt/last",
+            f"paths.input_dir={scene}/input",
+            f"paths.mask_dir={scene}/mask",
+            f"paths.output_dir={tmp_path}/styl_{crop}",
+            "paths.additional_channels={}",
+            "data.patch_size=16", "inference.use_gpu=false",
+            "inference.precision=32",
+            f"inference.crop_readback={crop}",
+        ])
+        engines[crop] = StyleTransferInference(icfg)
+        engines[crop].process_directory()
+
+    assert engines["auto"]._last_crop is not None  # crop actually engaged
+    assert engines["off"]._last_crop is None
+    a = sorted((tmp_path / "styl_auto").glob("*.png"))
+    b = sorted((tmp_path / "styl_off").glob("*.png"))
+    assert len(a) == len(b) == 3
+    for pa, pb in zip(a, b):
+        ia = np.asarray(Image.open(pa))
+        ib = np.asarray(Image.open(pb))
+        assert np.array_equal(ia, ib), pa.name
+        # outside the mask both must equal the input bytes exactly
+        inp = np.asarray(Image.open(scene / "input" / pa.name))
+        sel = mask == 0
+        assert np.array_equal(ia[sel], inp[sel]), pa.name

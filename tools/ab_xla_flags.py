@@ -17,10 +17,12 @@ Programs:
 Usage: python tools/ab_xla_flags.py [--program gen] [bucket] [rounds]
                                     [--candidates default|fine] [--json out.json]
 
-Measured (v5e, docs/perf/xla_ab_*.json): vmem_32m wins the generator
-(-17%: 131 -> 109 us/tile at B=512) and the full multiframe program
-(-11%: 23.3 -> 20.7 ms/frame), and is neutral on the train step (+-0.4%)
-— so resolve_xla_options("auto") ships it for every TPU compile.
+Measured (v5e, docs/perf/xla_ab_*.json): a raised scoped-VMEM budget wins
+the generator (-17%: 131 -> ~108 us/tile at B=512) and the full multiframe
+program (vmem_28m -19%: 23.3 -> 19.0 ms/frame min), is neutral on the
+train step (+-0.4%), and >=48 MiB is catastrophic (10x). 28 MiB (the
+focus-set winner on the full program) ships via resolve_xla_options("auto")
+for every TPU compile.
 """
 
 from __future__ import annotations
@@ -77,6 +79,12 @@ FINE_CANDIDATES = [
 
 if CAND_SET == "fine":
     CANDIDATES = [CANDIDATES[0]] + FINE_CANDIDATES
+elif CAND_SET == "focus":
+    CANDIDATES = [
+        ("vmem_28m", {"xla_tpu_scoped_vmem_limit_kib": "28672"}),
+        ("vmem_30m", {"xla_tpu_scoped_vmem_limit_kib": "30720"}),
+        ("vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ]
 
 
 def build_gen():
