@@ -12,6 +12,7 @@ compile numerically before timing.
 Programs:
   gen        - generator tile-batch forward (bucket B)
   multiframe - the full fpd=3 tiled frame program (gather+gen+blend)
+  fullframe  - the one-pass whole-frame program (512x910)
   train      - the fused GAN train step (batch 80)
 
 Usage: python tools/ab_xla_flags.py [--program gen] [bucket] [rounds]
@@ -109,6 +110,22 @@ def make_program():
             lambda t: gen.apply(g_vars, t, train=False)).lower(
             jax.ShapeDtypeStruct((B, PS, PS, C), DT))
         return lowered, sets, B, "us/tile", lambda out: out[0, 0, 0]
+    if PROGRAM == "fullframe":
+        from patch_toon_tpu.infer.engine import make_fullframe_fn
+
+        h, w = 512, 910
+        gen, g_vars = build_gen()
+        sets = [jnp.asarray(rng.random((h, w, C), np.float32) * 2 - 1)
+                for _ in range(3)]
+        mask = jnp.ones((h, w, 1), jnp.float32)
+        raw = make_fullframe_fn(gen, h, w, C, DT)
+
+        def body(frame):
+            return raw.__wrapped__(g_vars, frame, mask)
+
+        lowered = jax.jit(body).lower(
+            jax.ShapeDtypeStruct((h, w, C), jnp.float32))
+        return lowered, sets, 1, "ms/frame", None
     if PROGRAM == "multiframe":
         from patch_toon_tpu.infer.engine import make_multiframe_fn
         from patch_toon_tpu.infer.tiling import (bucket_size,
