@@ -54,7 +54,10 @@ def main(argv=None) -> None:
 
     try:
         inferencer = StyleTransferInference(cfg)
-        inferencer.process_directory()
+        if bool((cfg.inference.get("watch") or {}).get("enabled", False)):
+            inferencer.watch_directory()
+        else:
+            inferencer.process_directory()
         print("Inference completed successfully!")
     except Exception as e:
         print(f"Error during inference: {e}")

@@ -588,7 +588,70 @@ class StyleTransferInference:
             f"debug_{Path(save_path).name}"))
         img.save(debug_path)
 
-    def process_directory(self) -> None:
+    def watch_directory(self) -> None:
+        """Serve paths.input_dir as a long-running stylization service.
+
+        Polls for frames that do not yet have an output and runs each new
+        batch through the streaming pipeline. Compiled programs, device
+        params and the inference process stay warm between polls, so
+        steady-state latency is one dispatch — no reload/recompile per
+        batch (a capability the reference's one-shot ``generator.py`` has
+        no equivalent of). A frame is picked up once its mtime has settled
+        (half-written files are retried on the next poll; decode failures
+        fall under the per-file resilience of the pipeline).
+
+        inference.watch: {enabled, poll_seconds, idle_timeout_seconds}.
+        ``idle_timeout_seconds`` null/0 = run forever (Ctrl-C to stop).
+        """
+        import time as _time
+
+        if self.temporal_enabled:
+            raise ValueError(
+                "inference.watch is incompatible with the temporal guide "
+                "(the warp chain does not persist across polls yet)")
+        wcfg = self.cfg.get("inference", {}).get("watch") or {}
+        poll = float(wcfg.get("poll_seconds", 1.0))
+        idle_timeout = float(wcfg.get("idle_timeout_seconds") or 0)
+        input_dir = Path(self.cfg.paths.input_dir)
+        output_dir = Path(self.cfg.paths.output_dir)
+        done: set = set()
+        idle = 0.0
+        self.logger.info(
+            f"Watching {input_dir} (poll {poll}s, "
+            f"idle timeout {idle_timeout or 'none'})")
+        while True:
+            now = _time.time()
+            new = []
+            for p in sorted(input_dir.glob("*.[pj][np][g]")):
+                if p.name in done or (output_dir / p.name).exists():
+                    done.add(p.name)
+                    continue
+                try:
+                    if p.stat().st_mtime > now - max(0.25, poll / 2):
+                        continue  # possibly still being written
+                except OSError:
+                    continue
+                new.append(p)
+            if new:
+                self.process_directory(files=new, progress=False)
+                # only frames whose output landed are final — failed decodes
+                # (e.g. a transient half-write) retry on the next poll, and
+                # in multi-host watch a peer's output also counts
+                done.update(p.name for p in new
+                            if (output_dir / p.name).exists())
+                self.logger.info(f"Stylized {len(new)} new frame(s); "
+                                 f"{len(done)} total")
+                idle = 0.0
+            else:
+                _time.sleep(poll)
+                idle += poll
+                if idle_timeout and idle >= idle_timeout:
+                    self.logger.info(
+                        f"No new frames for {idle:.0f}s; stopping watch")
+                    return
+
+    def process_directory(self, files: Optional[List[Path]] = None,
+                          progress: bool = True) -> None:
         """Stylize every frame in paths.input_dir as a streaming pipeline.
 
         Same surface and per-file resilience as reference
@@ -613,7 +676,8 @@ class StyleTransferInference:
             raise FileNotFoundError(f"Mask directory not found: {mask_dir}")
         output_dir.mkdir(parents=True, exist_ok=True)
 
-        files = sorted(input_dir.glob("*.[pj][np][g]"))
+        if files is None:
+            files = sorted(input_dir.glob("*.[pj][np][g]"))
 
         # Multi-host pod streaming: per-frame stylization is stateless, so
         # hosts need NO communication — each worker takes a round-robin
@@ -746,7 +810,9 @@ class StyleTransferInference:
             futures = {}
             for p in files[:PREFETCH]:
                 futures[p] = pool.submit(load_one, p)
-            for i, input_path in enumerate(tqdm(files, desc="Processing images")):
+            for i, input_path in enumerate(
+                    tqdm(files, desc="Processing images",
+                         disable=not progress)):
                 if i + PREFETCH < len(files):
                     nxt = files[i + PREFETCH]
                     futures[nxt] = pool.submit(load_one, nxt)

@@ -385,3 +385,99 @@ def test_crop_readback_byte_identical(tmp_path):
         inp = np.asarray(Image.open(scene / "input" / pa.name))
         sel = mask == 0
         assert np.array_equal(ia[sel], inp[sel]), pa.name
+
+
+def test_watch_mode_serves_new_frames(tmp_path):
+    """inference.watch: frames added while the service runs are picked up
+    and stylized without reloading the model; idle timeout stops it."""
+    import threading
+    import time
+
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+    from patch_toon_tpu.train import StyleTransferModel
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+    rng = np.random.default_rng(9)
+    scene = tmp_path / "scene"
+    for sub in ("input", "mask"):
+        (scene / sub).mkdir(parents=True)
+    mask = np.zeros((48, 64), np.uint8)
+    mask[12:36, 20:44] = 255
+
+    def add_frame(i):
+        img = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(scene / "input" / f"{i:03d}.png")
+        Image.fromarray(mask).save(scene / "mask" / f"{i:03d}.png")
+
+    add_frame(0)
+    add_frame(1)
+
+    g_args = dict(input_channels=3, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=1,
+                  filters=[4, 8, 8, 8, 8, 4], norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=16, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    CheckpointManager(
+        tmp_path / "ckpt",
+        meta={"input_channels": 3, "generator_args": g_args,
+              "patch_size": 16},
+    ).save(state, epoch=0, score=1.0)
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    icfg = compose(root / "config", "inference", overrides=[
+        f"paths.checkpoint={tmp_path}/ckpt/last",
+        f"paths.input_dir={scene}/input",
+        f"paths.mask_dir={scene}/mask",
+        f"paths.output_dir={tmp_path}/styl",
+        "paths.additional_channels={}",
+        "data.patch_size=16", "inference.use_gpu=false",
+        "inference.precision=32",
+        "inference.watch.enabled=true",
+        "inference.watch.poll_seconds=0.3",
+        "inference.watch.idle_timeout_seconds=45",
+    ])
+    eng = StyleTransferInference(icfg)
+    t = threading.Thread(target=eng.watch_directory)
+    t.start()
+    try:
+        # wait for the first batch to be served
+        deadline = time.time() + 120
+        while time.time() < deadline and not (
+                (tmp_path / "styl" / "000.png").exists()
+                and (tmp_path / "styl" / "001.png").exists()):
+            time.sleep(0.5)
+        assert (tmp_path / "styl" / "001.png").exists(), "initial frames"
+        add_frame(2)  # arrives while the service is running
+        deadline = time.time() + 60
+        while time.time() < deadline and not (
+                tmp_path / "styl" / "002.png").exists():
+            time.sleep(0.5)
+        assert (tmp_path / "styl" / "002.png").exists(), "late frame"
+    finally:
+        t.join(timeout=120)  # idle timeout must stop the thread
+    assert not t.is_alive()
+
+    # outputs identical to a one-shot run over the same directory
+    icfg2 = compose(root / "config", "inference", overrides=[
+        f"paths.checkpoint={tmp_path}/ckpt/last",
+        f"paths.input_dir={scene}/input",
+        f"paths.mask_dir={scene}/mask",
+        f"paths.output_dir={tmp_path}/styl_once",
+        "paths.additional_channels={}",
+        "data.patch_size=16", "inference.use_gpu=false",
+        "inference.precision=32",
+    ])
+    StyleTransferInference(icfg2).process_directory()
+    for n in ("000.png", "001.png", "002.png"):
+        a = np.asarray(Image.open(tmp_path / "styl" / n))
+        b = np.asarray(Image.open(tmp_path / "styl_once" / n))
+        assert np.array_equal(a, b), n

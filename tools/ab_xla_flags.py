@@ -62,7 +62,7 @@ DT = jnp.bfloat16
 
 CANDIDATES = [
     ("default", {}),
-    ("vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ("vmem_28m", {"xla_tpu_scoped_vmem_limit_kib": "28672"}),  # shipped
 ]
 
 # finer sweep around the winner (--candidates fine): is 32 MiB a plateau or
