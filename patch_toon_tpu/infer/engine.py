@@ -609,12 +609,25 @@ class StyleTransferInference:
             raise ValueError(
                 "inference.watch is incompatible with the temporal guide "
                 "(the warp chain does not persist across polls yet)")
+        if self.cfg.get("inference", {}).get("file_shard"):
+            raise ValueError(
+                "inference.watch shards by name hash automatically; "
+                "file_shard's index round-robin is unstable across polls")
+        import zlib
+
         wcfg = self.cfg.get("inference", {}).get("watch") or {}
         poll = float(wcfg.get("poll_seconds", 1.0))
         idle_timeout = float(wcfg.get("idle_timeout_seconds") or 0)
+        max_attempts = int(wcfg.get("max_attempts", 3))
         input_dir = Path(self.cfg.paths.input_dir)
         output_dir = Path(self.cfg.paths.output_dir)
+        # Multi-host watch: shard by a stable hash of the NAME (a list-index
+        # round-robin would reassign frames between polls as the pending
+        # list shrinks at different rates per process, double-writing the
+        # same output from two hosts).
+        nproc, me = jax.process_count(), jax.process_index()
         done: set = set()
+        attempts: Dict[str, int] = {}
         idle = 0.0
         self.logger.info(
             f"Watching {input_dir} (poll {poll}s, "
@@ -626,6 +639,8 @@ class StyleTransferInference:
                 if p.name in done or (output_dir / p.name).exists():
                     done.add(p.name)
                     continue
+                if nproc > 1 and zlib.crc32(p.name.encode()) % nproc != me:
+                    continue  # a peer's frame
                 try:
                     if p.stat().st_mtime > now - max(0.25, poll / 2):
                         continue  # possibly still being written
@@ -634,21 +649,27 @@ class StyleTransferInference:
                 new.append(p)
             if new:
                 self.process_directory(files=new, progress=False)
-                # only frames whose output landed are final — failed decodes
-                # (e.g. a transient half-write) retry on the next poll, and
-                # in multi-host watch a peer's output also counts
-                done.update(p.name for p in new
-                            if (output_dir / p.name).exists())
+                for p in new:
+                    if (output_dir / p.name).exists():
+                        done.add(p.name)
+                        idle = 0.0
+                    else:
+                        # transient half-write: retry; persistent failure:
+                        # give up so the poll loop can go idle (no spin)
+                        attempts[p.name] = attempts.get(p.name, 0) + 1
+                        if attempts[p.name] >= max_attempts:
+                            self.logger.error(
+                                f"Giving up on {p.name} after "
+                                f"{max_attempts} attempts")
+                            done.add(p.name)
                 self.logger.info(f"Stylized {len(new)} new frame(s); "
                                  f"{len(done)} total")
-                idle = 0.0
-            else:
-                _time.sleep(poll)
-                idle += poll
-                if idle_timeout and idle >= idle_timeout:
-                    self.logger.info(
-                        f"No new frames for {idle:.0f}s; stopping watch")
-                    return
+            _time.sleep(poll)
+            idle += poll
+            if idle_timeout and idle >= idle_timeout:
+                self.logger.info(
+                    f"No new frames for {idle:.0f}s; stopping watch")
+                return
 
     def process_directory(self, files: Optional[List[Path]] = None,
                           progress: bool = True) -> None:
@@ -676,6 +697,7 @@ class StyleTransferInference:
             raise FileNotFoundError(f"Mask directory not found: {mask_dir}")
         output_dir.mkdir(parents=True, exist_ok=True)
 
+        explicit_files = files is not None
         if files is None:
             files = sorted(input_dir.glob("*.[pj][np][g]"))
 
@@ -684,6 +706,8 @@ class StyleTransferInference:
         # slice of the frame list (inference.file_shard: "i/N") and drives
         # its own local chips (optionally with inference.devices > 1).
         shard = self.cfg.get("inference", {}).get("file_shard")
+        if explicit_files:
+            shard = False  # watch mode shards by name hash before calling
         if shard is None and jax.process_count() > 1:
             if self.temporal_enabled:
                 self.logger.warning(
@@ -714,7 +738,22 @@ class StyleTransferInference:
                                              with_rgb_u8=True)
             mask = self._load_eroded_mask(
                 str(mask_dir / input_path.name), frame.shape[:2])
-            return frame, mask, rgb_u8
+            # Mask-support bbox for crop_readback. The composite is
+            # out = rgb*(1-m) + styl*m, so EVERY pixel that can differ from
+            # the input lies inside the mask's nonzero extent — tile boxes
+            # can under-cover it (stride-sampled speckle masks, fullframe
+            # mode), so the bbox must come from the mask itself. Computed
+            # here so the row/col scans ride the prefetch threads.
+            mbox = None
+            if mask is not None:
+                rows = np.flatnonzero(mask.any(axis=1))
+                cols = np.flatnonzero(mask.any(axis=0))
+                if len(rows):
+                    mbox = (int(rows[0]), int(rows[-1]) + 1,
+                            int(cols[0]), int(cols[-1]) + 1)
+                else:
+                    mbox = (0, 0, 0, 0)  # empty mask: nothing stylized
+            return frame, mask, rgb_u8, mbox
 
         in_flight: List[Tuple[Any, List[Box], Path]] = []
         writer = FrameWriter(num_threads=2)
@@ -743,16 +782,21 @@ class StyleTransferInference:
                     self.patch_positions = group_boxes[k]
                     self._save_debug_overlay(img, str(save_path))
 
-        def crop_bbox(group_boxes, h, w):
-            """Tile-union bbox padded to 64-multiples (bounds the number of
-            distinct slice shapes, so mask drift doesn't recompile)."""
+        def crop_bbox(mask_boxes, h, w):
+            """Union of the group's mask-support bboxes, padded to
+            64-multiples (bounds the number of distinct slice shapes, so
+            mask drift doesn't recompile). The mask support — not the tile
+            union — is what bounds every pixel the composite can change."""
             if not self.crop_readback or self.devices != 1 \
-                    or any(len(b) == 0 for b in group_boxes):
-                return None
-            y0 = min(b[0] for bs in group_boxes for b in bs)
-            y1 = max(b[1] for bs in group_boxes for b in bs)
-            x0 = min(b[2] for bs in group_boxes for b in bs)
-            x1 = max(b[3] for bs in group_boxes for b in bs)
+                    or any(mb is None for mb in mask_boxes):
+                return None  # maskless frames stylize everywhere
+            live = [mb for mb in mask_boxes if mb[1] > mb[0]]
+            if not live:
+                live = [(0, 1, 0, 1)]  # all masks empty: fetch 1 row
+            y0 = min(mb[0] for mb in live)
+            y1 = max(mb[1] for mb in live)
+            x0 = min(mb[2] for mb in live)
+            x1 = max(mb[3] for mb in live)
             y0, x0 = (y0 // 64) * 64, (x0 // 64) * 64
             y1, x1 = min(h, -(-y1 // 64) * 64), min(w, -(-x1 // 64) * 64)
             if (y1 - y0) * (x1 - x0) >= 0.85 * h * w:
@@ -772,7 +816,7 @@ class StyleTransferInference:
             else:
                 out = self._stylize_group(frames, masks, group_boxes)
             crop = None
-            bbox = crop_bbox(group_boxes, *frames[0].shape[:2])
+            bbox = crop_bbox([g[5] for g in group], *frames[0].shape[:2])
             self._last_crop = bbox  # introspection/tests
             if bbox is not None:
                 y0, y1, x0, x1 = bbox
@@ -817,7 +861,8 @@ class StyleTransferInference:
                     nxt = files[i + PREFETCH]
                     futures[nxt] = pool.submit(load_one, nxt)
                 try:
-                    frame, mask, rgb_u8 = futures.pop(input_path).result()
+                    frame, mask, rgb_u8, mbox = \
+                        futures.pop(input_path).result()
                     eff_mask = mask if mask is not None else np.ones(
                         frame.shape[:2], np.float32)
                     boxes = tile_boxes_from_mask(
@@ -838,7 +883,8 @@ class StyleTransferInference:
                             self.logger.info(
                                 f"Co-batching {group_size} frames/dispatch "
                                 f"(~{len(boxes)} tiles/frame)")
-                    group.append((frame, eff_mask, boxes, input_path, rgb_u8))
+                    group.append((frame, eff_mask, boxes, input_path,
+                                  rgb_u8, mbox))
                     if len(group) >= group_size:
                         dispatch_group(group)
                         group = []
@@ -1012,8 +1058,12 @@ class StyleTransferInference:
                 futures[i + 1] = pool.submit(load_one, files[i + 1])
                 flow_futures[i + 1] = pool.submit(load_flow, i + 1)
             try:
-                frame, mask, _ = futures.pop(i).result()
-                flow = flow_futures.pop(i).result()
+                # pop BOTH futures before any .result() so a failed decode
+                # can't leak the (multi-MB) flow entry in flow_futures
+                frame_f = futures.pop(i)
+                flow_f = flow_futures.pop(i)
+                frame, mask, _, _ = frame_f.result()
+                flow = flow_f.result()
                 if prev_float is None or flow_dir is None:
                     guide = jnp.asarray(frame[:, :, :3])
                 elif flow is not None:

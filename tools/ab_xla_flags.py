@@ -98,8 +98,8 @@ def build_gen():
 
 
 def make_program():
-    """Returns (lowered, example_args, units_per_call, unit_name,
-    result_slice) for the selected program."""
+    """Returns (lowered, example_args, units_per_call, unit_name) for the
+    selected program."""
     rng = np.random.default_rng(0)
     if PROGRAM == "gen":
         gen, g_vars = build_gen()
@@ -109,7 +109,7 @@ def make_program():
         lowered = jax.jit(
             lambda t: gen.apply(g_vars, t, train=False)).lower(
             jax.ShapeDtypeStruct((B, PS, PS, C), DT))
-        return lowered, sets, B, "us/tile", lambda out: out[0, 0, 0]
+        return lowered, sets, B, "us/tile"
     if PROGRAM == "fullframe":
         from patch_toon_tpu.infer.engine import make_fullframe_fn
 
@@ -125,7 +125,7 @@ def make_program():
 
         lowered = jax.jit(body).lower(
             jax.ShapeDtypeStruct((h, w, C), jnp.float32))
-        return lowered, sets, 1, "ms/frame", None
+        return lowered, sets, 1, "ms/frame"
     if PROGRAM == "multiframe":
         from patch_toon_tpu.infer.engine import make_multiframe_fn
         from patch_toon_tpu.infer.tiling import (bucket_size,
@@ -151,7 +151,7 @@ def make_program():
 
         lowered = jax.jit(body).lower(
             jax.ShapeDtypeStruct((fpd, h, w, C), jnp.float32))
-        return lowered, sets, fpd, "ms/frame", lambda out: out[0][0, 0, 0]
+        return lowered, sets, fpd, "ms/frame"
     if PROGRAM == "train":
         from patch_toon_tpu.train import StyleTransferModel, make_train_step
 
@@ -200,12 +200,12 @@ def make_program():
 
         lowered = jax.jit(body).lower(state, rng_j)
         sets = [jax.random.fold_in(rng_j, i) for i in range(3)]
-        return lowered, (state, sets), batch_size, "patches/ms", None
+        return lowered, (state, sets), batch_size, "patches/ms"
     raise SystemExit(f"unknown --program {PROGRAM}")
 
 
 def main():
-    lowered, sets, units, unit_name, _slice = make_program()
+    lowered, sets, units, unit_name = make_program()
     fns = []
     for label, opts in CANDIDATES:
         fn = lowered.compile(compiler_options=opts) if opts \
@@ -293,7 +293,8 @@ def main():
     if JSON_OUT:
         Path(JSON_OUT).parent.mkdir(parents=True, exist_ok=True)
         Path(JSON_OUT).write_text(json.dumps(
-            {"program": PROGRAM, "bucket": B, "rounds": ROUNDS,
+            {"program": PROGRAM, "rounds": ROUNDS,
+             **({"bucket": B} if PROGRAM == "gen" else {}),
              "units_per_call": units, "summary": summary}, indent=1))
         print(f"wrote {JSON_OUT}")
 
