@@ -600,19 +600,25 @@ class StyleTransferInference:
         (half-written files are retried on the next poll; decode failures
         fall under the per-file resilience of the pipeline).
 
-        inference.watch: {enabled, poll_seconds, idle_timeout_seconds}.
-        ``idle_timeout_seconds`` null/0 = run forever (Ctrl-C to stop).
+        inference.watch: {enabled, poll_seconds, idle_timeout_seconds,
+        max_attempts}. ``idle_timeout_seconds`` null/0 = run forever
+        (Ctrl-C to stop). With the temporal guide enabled, the warp chain
+        and the global flow index persist across polls (frames must arrive
+        in stream order; flow_bwd/{i}.npy is indexed by position in the
+        whole stream); multi-host temporal watch serves from process 0
+        only, other modes shard frames by name hash.
         """
         import time as _time
 
-        if self.temporal_enabled:
-            raise ValueError(
-                "inference.watch is incompatible with the temporal guide "
-                "(the warp chain does not persist across polls yet)")
         if self.cfg.get("inference", {}).get("file_shard"):
             raise ValueError(
                 "inference.watch shards by name hash automatically; "
                 "file_shard's index round-robin is unstable across polls")
+        if self.temporal_enabled and jax.process_count() > 1 \
+                and jax.process_index() != 0:
+            self.logger.warning(
+                "Temporal watch is sequential; only process 0 serves")
+            return
         import zlib
 
         wcfg = self.cfg.get("inference", {}).get("watch") or {}
@@ -639,7 +645,8 @@ class StyleTransferInference:
                 if p.name in done or (output_dir / p.name).exists():
                     done.add(p.name)
                     continue
-                if nproc > 1 and zlib.crc32(p.name.encode()) % nproc != me:
+                if nproc > 1 and not self.temporal_enabled \
+                        and zlib.crc32(p.name.encode()) % nproc != me:
                     continue  # a peer's frame
                 try:
                     if p.stat().st_mtime > now - max(0.25, poll / 2):
@@ -760,7 +767,7 @@ class StyleTransferInference:
 
         if self.temporal_enabled:
             self._process_directory_temporal(files, load_one, output_dir,
-                                             writer)
+                                             writer, progress=progress)
             failed = writer.flush()
             writer.close()
             if failed:
@@ -1001,7 +1008,7 @@ class StyleTransferInference:
         return u8
 
     def _process_directory_temporal(self, files, load_one, output_dir,
-                                    writer) -> None:
+                                    writer, progress: bool = True) -> None:
         """Temporal-guide stylization: each frame's input gains channels
         holding the flow-warped previous *stylized* frame.
 
@@ -1027,6 +1034,11 @@ class StyleTransferInference:
         flow_dir = Path(self.temporal_flow_dir) if self.temporal_flow_dir \
             else None
 
+        # Chain state lives on the engine so watch mode continues the warp
+        # chain (and the global flow index) across polls; a fresh engine —
+        # every one-shot CLI run — starts clean.
+        base = getattr(self, "_temporal_index", 0)
+
         def load_flow(i: int):
             if flow_dir is None:
                 return None
@@ -1035,11 +1047,11 @@ class StyleTransferInference:
                 return None
             return np.load(str(flow_path))
 
-        prev_float = None
+        prev_float = getattr(self, "_temporal_prev", None)
         pending = None  # (u8 device array, save_path, boxes) being read back
         pool = ThreadPoolExecutor(max_workers=1)
         futures = {0: pool.submit(load_one, files[0])} if files else {}
-        flow_futures = {0: pool.submit(load_flow, 0)} if files else {}
+        flow_futures = {0: pool.submit(load_flow, base)} if files else {}
 
         def drain_pending():
             nonlocal pending
@@ -1053,10 +1065,13 @@ class StyleTransferInference:
                 self.patch_positions = boxes
                 self._save_debug_overlay(arr, str(save_path))
 
-        for i, input_path in enumerate(tqdm(files, desc="Temporal frames")):
+        for i, input_path in enumerate(tqdm(files, desc="Temporal frames",
+                                            disable=not progress)):
+            gi = base + i  # global frame index (flow files are indexed by
+            #                position in the whole stream, not this batch)
             if i + 1 < len(files):
                 futures[i + 1] = pool.submit(load_one, files[i + 1])
-                flow_futures[i + 1] = pool.submit(load_flow, i + 1)
+                flow_futures[i + 1] = pool.submit(load_flow, gi + 1)
             try:
                 # pop BOTH futures before any .result() so a failed decode
                 # can't leak the (multi-MB) flow entry in flow_futures
@@ -1070,8 +1085,8 @@ class StyleTransferInference:
                     guide = warp_image(prev_float, jnp.asarray(flow))
                 else:
                     self.logger.warning(
-                        f"No flow for frame {i} "
-                        f"({flow_dir / (self.temporal_format % i)}.npy); "
+                        f"No flow for frame {gi} "
+                        f"({flow_dir / (self.temporal_format % gi)}.npy); "
                         f"using unwarped previous output")
                     guide = prev_float
                 guide = guide[..., : self.temporal_depth]
@@ -1089,5 +1104,8 @@ class StyleTransferInference:
                 self.logger.error(f"Failed to process {input_path.name}: {e}")
                 prev_float = None  # restart the temporal chain
                 continue
+            finally:
+                self._temporal_index = gi + 1
         drain_pending()
+        self._temporal_prev = prev_float
         pool.shutdown(wait=False)

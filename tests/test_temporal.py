@@ -125,3 +125,99 @@ def test_temporal_end_to_end(temporal_scene, tmp_path):
     arr = np.asarray(Image.open(outs[2]))
     assert arr.shape == (48, 64, 3)
     assert arr.std() > 1.0
+
+
+def test_temporal_watch_chain_persists(temporal_scene, tmp_path):
+    """Watch mode with the temporal guide: frames arriving across polls
+    must produce the same chained outputs as a one-shot run (the warp
+    chain and global flow index persist on the engine between polls)."""
+    import shutil
+    import threading
+    import time
+
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+    from patch_toon_tpu.train import StyleTransferModel
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+    base = temporal_scene
+    g_args = dict(input_channels=6, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=1,
+                  filters=[4, 8, 8, 8, 8, 4], norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=16, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    CheckpointManager(
+        tmp_path / "ckpt",
+        meta={"input_channels": 6, "generator_args": g_args,
+              "patch_size": 16},
+    ).save(state, epoch=0, score=1.0)
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+
+    def make_cfg(in_dir, mask_dir, out_dir, extra=()):
+        return compose(root / "config", "inference", overrides=[
+            f"paths.checkpoint={tmp_path}/ckpt/last",
+            f"paths.input_dir={in_dir}",
+            f"paths.mask_dir={mask_dir}",
+            f"paths.output_dir={out_dir}",
+            "paths.additional_channels={}",
+            "data.patch_size=16", "inference.use_gpu=false",
+            "inference.precision=32",
+            "+inference.temporal.enabled=true",
+            f"+inference.temporal.flow_dir={base}/flow_bwd",
+            "+inference.temporal.depth=3",
+            *extra,
+        ])
+
+    # one-shot reference over all 5 frames
+    StyleTransferInference(make_cfg(
+        base / "input", base / "mask", tmp_path / "ref")).process_directory()
+
+    # watch run: 3 frames now, 2 arrive while the service runs
+    win = tmp_path / "win"
+    wmask = tmp_path / "wmask"
+    win.mkdir()
+    wmask.mkdir()
+    for i in range(3):
+        shutil.copy(base / "input" / f"{i:03d}.png", win)
+        shutil.copy(base / "mask" / f"{i:03d}.jpg", wmask)
+    eng = StyleTransferInference(make_cfg(
+        win, wmask, tmp_path / "wout", extra=[
+            "inference.watch.enabled=true",
+            "inference.watch.poll_seconds=0.3",
+            "inference.watch.idle_timeout_seconds=40",
+        ]))
+    t = threading.Thread(target=eng.watch_directory)
+    t.start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and not (
+                tmp_path / "wout" / "002.png").exists():
+            time.sleep(0.5)
+        assert (tmp_path / "wout" / "002.png").exists()
+        for i in (3, 4):
+            shutil.copy(base / "input" / f"{i:03d}.png", win)
+            shutil.copy(base / "mask" / f"{i:03d}.jpg", wmask)
+        deadline = time.time() + 60
+        while time.time() < deadline and not (
+                tmp_path / "wout" / "004.png").exists():
+            time.sleep(0.5)
+        assert (tmp_path / "wout" / "004.png").exists()
+    finally:
+        t.join(timeout=120)
+    assert not t.is_alive()
+
+    # chained outputs identical to the one-shot run — including frames 3-4,
+    # whose guides depend on the chain state carried across the poll gap
+    for i in range(5):
+        a = np.asarray(Image.open(tmp_path / "wout" / f"{i:03d}.png"))
+        b = np.asarray(Image.open(tmp_path / "ref" / f"{i:03d}.png"))
+        np.testing.assert_array_equal(a, b, err_msg=f"{i:03d}.png")
