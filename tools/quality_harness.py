@@ -429,6 +429,10 @@ def main():
 
 
 def write_quality_md(p, out_dir: Path):
+    try:
+        out_rel = out_dir.resolve().relative_to(REPO)
+    except ValueError:
+        out_rel = out_dir
     rows = p["frames"]
     mean = lambda k: sum(r[k] for r in rows) / len(rows)  # noqa: E731
     lines = [
@@ -439,8 +443,8 @@ def write_quality_md(p, out_dir: Path):
         "(L1*4 + shared random-VGG perceptual*6 + LSGAN*0.5), identical "
         "torch-Adam schedule, identical deterministic VGG weights, "
         "independent sampling RNGs. Generated by tools/quality_harness.py; "
-        "full numbers in docs/quality/quality.json, side-by-side frames in "
-        "docs/quality/side_*.jpg (input | ours | torch | target).",
+        f"full numbers in {out_rel}/quality.json, side-by-side frames in "
+        f"{out_rel}/side_*.jpg (input | ours | torch | target).",
         "",
         "PSNR is computed inside the eroded stylization mask (outside it "
         "both stacks pass the input through unchanged).",
