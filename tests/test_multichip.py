@@ -395,3 +395,27 @@ def test_gradient_accumulation_multisteps():
     state2, _ = step(state1, batch, jax.random.PRNGKey(3))
     p2 = jax.tree.leaves(state2.g_params)[0]
     assert np.abs(np.asarray(p2) - np.asarray(p1)).max() > 0  # applied
+
+
+def test_permutation_sampler_on_mesh(reference_path):
+    """The stateful device permutation sampler composes with a mesh: the
+    drawn batch lands batch-sharded and consecutive draws advance state."""
+    base = reference_path / "test_dataset" / "PlatinumChan_x0.5_train"
+    if not base.exists():
+        pytest.skip("sample data not present")
+    from patch_toon_tpu.data import StyleTransferDataset
+
+    ds = StyleTransferDataset(
+        dir_pre=str(base / "input"), dir_post=str(base / "output"),
+        dir_mask=str(base / "mask"), patch_size=32,
+        sampling="permutation",
+    )
+    mesh = make_mesh(data=8, model=1)
+    sampler = ds.make_sampler(16, mesh)
+    with mesh:
+        b1 = sampler(jax.random.PRNGKey(0))
+        b2 = sampler(jax.random.PRNGKey(0))
+    assert b1["pre"].shape == (16, 32, 32, 3)
+    assert b1["pre"].sharding.is_equivalent_to(batch_sharding(mesh), 4)
+    # same key, advanced device state -> different draws
+    assert not np.array_equal(np.asarray(b1["pre"]), np.asarray(b2["pre"]))
