@@ -794,7 +794,7 @@ class StyleTransferInference:
             64-multiples (bounds the number of distinct slice shapes, so
             mask drift doesn't recompile). The mask support — not the tile
             union — is what bounds every pixel the composite can change."""
-            if not self.crop_readback or self.devices != 1 \
+            if not self.crop_readback \
                     or any(mb is None for mb in mask_boxes):
                 return None  # maskless frames stylize everywhere
             live = [mb for mb in mask_boxes if mb[1] > mb[0]]

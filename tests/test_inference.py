@@ -386,6 +386,27 @@ def test_crop_readback_byte_identical(tmp_path):
         sel = mask == 0
         assert np.array_equal(ia[sel], inp[sel]), pa.name
 
+    # pod path (frames sharded over 8 devices) with the cropped fetch must
+    # also match, within the pod-batching roundoff bound
+    icfg = compose(root / "config", "inference", overrides=[
+        f"paths.checkpoint={tmp_path}/ckpt/last",
+        f"paths.input_dir={scene}/input",
+        f"paths.mask_dir={scene}/mask",
+        f"paths.output_dir={tmp_path}/styl_pod",
+        "paths.additional_channels={}",
+        "data.patch_size=16", "inference.use_gpu=false",
+        "inference.precision=32",
+        "inference.devices=8",
+    ])
+    eng_pod = StyleTransferInference(icfg)
+    eng_pod.process_directory()
+    assert eng_pod._last_crop is not None  # crop engaged on the pod fetch
+    for pa in a:
+        ia = np.asarray(Image.open(pa)).astype(int)
+        ip = np.asarray(Image.open(
+            tmp_path / "styl_pod" / pa.name)).astype(int)
+        assert np.abs(ia - ip).max() <= 1, pa.name
+
 
 def test_watch_mode_serves_new_frames(tmp_path):
     """inference.watch: frames added while the service runs are picked up
