@@ -502,3 +502,71 @@ def test_watch_mode_serves_new_frames(tmp_path):
         a = np.asarray(Image.open(tmp_path / "styl" / n))
         b = np.asarray(Image.open(tmp_path / "styl_once" / n))
         assert np.array_equal(a, b), n
+
+
+def test_watch_mode_gives_up_on_bad_frame(tmp_path):
+    """A frame that persistently fails (missing mask) must be retried
+    max_attempts times, then dropped — the watcher goes idle and exits by
+    timeout instead of spinning."""
+    import threading
+    import time
+
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+    from patch_toon_tpu.train import StyleTransferModel
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+    rng = np.random.default_rng(11)
+    scene = tmp_path / "scene"
+    for sub in ("input", "mask"):
+        (scene / sub).mkdir(parents=True)
+    mask = np.zeros((48, 64), np.uint8)
+    mask[12:36, 20:44] = 255
+    for i in range(2):
+        img = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(scene / "input" / f"{i:03d}.png")
+        if i == 0:  # frame 001 has NO mask -> per-file failure every pass
+            Image.fromarray(mask).save(scene / "mask" / f"{i:03d}.png")
+
+    g_args = dict(input_channels=3, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=1,
+                  filters=[4, 8, 8, 8, 8, 4], norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=16, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    CheckpointManager(
+        tmp_path / "ckpt",
+        meta={"input_channels": 3, "generator_args": g_args,
+              "patch_size": 16},
+    ).save(state, epoch=0, score=1.0)
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    icfg = compose(root / "config", "inference", overrides=[
+        f"paths.checkpoint={tmp_path}/ckpt/last",
+        f"paths.input_dir={scene}/input",
+        f"paths.mask_dir={scene}/mask",
+        f"paths.output_dir={tmp_path}/styl",
+        "paths.additional_channels={}",
+        "data.patch_size=16", "inference.use_gpu=false",
+        "inference.precision=32",
+        "inference.watch.enabled=true",
+        "inference.watch.poll_seconds=0.2",
+        "inference.watch.idle_timeout_seconds=8",
+        "+inference.watch.max_attempts=3",
+    ])
+    eng = StyleTransferInference(icfg)
+    t = threading.Thread(target=eng.watch_directory)
+    t0 = time.time()
+    t.start()
+    t.join(timeout=180)  # must terminate via idle timeout, not spin
+    assert not t.is_alive(), "watcher failed to go idle after giving up"
+    assert (tmp_path / "styl" / "000.png").exists()  # good frame served
+    assert not (tmp_path / "styl" / "001.png").exists()  # bad one dropped
+    assert time.time() - t0 < 175
