@@ -52,6 +52,18 @@ from patch_toon_tpu.train.checkpoints import sniff_input_channels
 from patch_toon_tpu.train.model import StyleTransferModel, _resolve_dtype
 
 
+def _composite_u8(rgb, out, mask):
+    """Masked composite + clip + uint8 tail shared by EVERY inference
+    program (reference generator.py:562-563 + 643-652 semantics). Any
+    change to the output convention must happen here, once — a missed
+    site would silently break bit-parity between modes."""
+    out = rgb * (1.0 - mask) + out * mask
+    out = jnp.clip(out, -1.0, 1.0)
+    u8 = jnp.round(
+        jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)).astype(jnp.uint8)
+    return u8, out
+
+
 def make_fullframe_fn(generator, h: int, w: int, c: int, dtype,
                       compiler_options=None) -> Any:
     """One whole-frame generator pass (the TPU-first fast path).
@@ -73,13 +85,7 @@ def make_fullframe_fn(generator, h: int, w: int, c: int, dtype,
         out = generator.apply(
             g_vars, x[None].astype(dtype), train=False
         )[0, :h, :w].astype(jnp.float32)
-        rgb = frame[:, :, :3]
-        out = rgb * (1.0 - mask) + out * mask
-        out = jnp.clip(out, -1.0, 1.0)
-        u8 = jnp.round(
-            jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)
-        ).astype(jnp.uint8)
-        return u8, out
+        return _composite_u8(frame[:, :, :3], out, mask)
 
     return jax.jit(fn, compiler_options=compiler_options)
 
@@ -97,12 +103,7 @@ def make_batched_fullframe_fn(generator, h: int, w: int, c: int, dtype,
         out = generator.apply(
             g_vars, x.astype(dtype), train=False
         )[:, :h, :w].astype(jnp.float32)
-        rgb = frames[..., :3]
-        out = rgb * (1.0 - masks) + out * masks
-        out = jnp.clip(out, -1.0, 1.0)
-        u8 = jnp.round(
-            jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)).astype(jnp.uint8)
-        return u8, out
+        return _composite_u8(frames[..., :3], out, masks)
 
     if mesh is None:
         return jax.jit(body, compiler_options=compiler_options)
@@ -190,13 +191,7 @@ def _frame_body(generator, patch_size: int, bucket: int,
         out = canvas[:h, :w]
         wsum = wcanvas[:h, :w]
         out = out / jnp.where(wsum > 1e-8, wsum, 1.0)
-        rgb = frame[:, :, :3]
-        out = rgb * (1.0 - mask) + out * mask          # generator.py:562-563
-        out = jnp.clip(out, -1.0, 1.0)
-        u8 = jnp.round(
-            jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)
-        ).astype(jnp.uint8)
-        return u8, out
+        return _composite_u8(frame[:, :, :3], out, mask)
 
     return frame_fn
 
@@ -296,12 +291,7 @@ def _multiframe_body(generator, patch_size: int, bucket: int, n_frames: int,
         out = canvas.reshape(n_frames, hp1, w + ps, 3)[:, :h, :w]
         wsum = wcanvas.reshape(n_frames, hp1, w + ps, 1)[:, :h, :w]
         out = out / jnp.where(wsum > 1e-8, wsum, 1.0)
-        rgb = frames[..., :3]
-        out = rgb * (1.0 - masks) + out * masks
-        out = jnp.clip(out, -1.0, 1.0)
-        u8 = jnp.round(
-            jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)).astype(jnp.uint8)
-        return u8, out
+        return _composite_u8(frames[..., :3], out, masks)
 
     return fn
 
@@ -364,7 +354,12 @@ class StyleTransferInference:
         self.temporal_flow_dir = tcfg.get("flow_dir")
         self.temporal_depth = int(tcfg.get("depth", 3))
         self.temporal_format = str(tcfg.get("file_format", "%03d"))
-        self.dtype = _resolve_dtype(inf.get("precision", "bf16")) or jnp.float32
+        # single source for the inference precision: self.dtype (tile/frame
+        # compute) and the model's conv-precision policy (_setup_model) must
+        # read the SAME value or an fp32-trained checkpoint would pay
+        # HIGHEST-precision convs on bf16-truncated inputs
+        self.precision = inf.get("precision", "bf16")
+        self.dtype = _resolve_dtype(self.precision) or jnp.float32
         # inference.devices: 1 = single chip; N = frames sharded over an
         # N-chip 'data' mesh (pod streaming); -1 = all chips
         self.devices = int(inf.get("devices", 1))
@@ -372,8 +367,8 @@ class StyleTransferInference:
         # the mask the composite equals the input bytes exactly, so the
         # frame is reconstructed host-side bit-identically. Big win on
         # slow/congested transports when the mask covers part of the frame.
-        self.crop_readback = inf.get("crop_readback", "auto") \
-            not in ("off", False, "false")
+        self.crop_readback = str(inf.get("crop_readback", "auto")).lower() \
+            not in ("off", "false", "0", "no", "none", "disabled")
         from patch_toon_tpu.utils.xla_options import resolve_xla_options
 
         # per-compile XLA option tuning (docs/perf/xla_ab.json); "auto"
@@ -457,8 +452,7 @@ class StyleTransferInference:
         gen_cfg["args"]["additional_channels"] = None
 
         training_cfg = dict(to_container(self.cfg.training))
-        training_cfg["precision"] = self.cfg.get("inference", {}).get(
-            "precision", training_cfg.get("precision", 32))
+        training_cfg["precision"] = self.precision
         self.model = StyleTransferModel(
             generator_config=gen_cfg,
             discriminator_config=None,
@@ -501,6 +495,7 @@ class StyleTransferInference:
         frame: np.ndarray,                 # (H,W,C) fp32 [-1,1]
         mask: Optional[np.ndarray] = None,  # (H,W) eroded {0,1}, or None
         overlap_percent: Optional[float] = None,
+        boxes: Optional[List[Box]] = None,  # precomputed tile boxes
     ):
         """Dispatch one frame's stylization; returns the device uint8 array
         (async — fetch with np.asarray) and the tile boxes."""
@@ -516,9 +511,11 @@ class StyleTransferInference:
             u8, out_float = self._frame_fns[key](
                 self.g_vars, jnp.asarray(frame), jnp.asarray(mask[..., None]))
             return u8, out_float, []
-        boxes = tile_boxes_from_mask(
-            mask, self.patch_size,
-            self.overlap_percent if overlap_percent is None else overlap_percent)
+        if boxes is None:
+            boxes = tile_boxes_from_mask(
+                mask, self.patch_size,
+                self.overlap_percent if overlap_percent is None
+                else overlap_percent)
         bucket = bucket_size(max(1, len(boxes)))
         packed_boxes, weights, _ = pack_boxes(boxes, self.patch_size, bucket)
         fn = self._frame_fn(h, w, c, bucket)
@@ -562,6 +559,10 @@ class StyleTransferInference:
                 return None  # full-frame stylization
             raise FileNotFoundError(f"Mask file not found: {resolved}")
         mask = load_mask(resolved)  # >128 binarize, [0,1]
+        if tuple(mask.shape) != tuple(shape_hw):
+            raise ValueError(
+                f"Mask {resolved} is {mask.shape}, frame is "
+                f"{tuple(shape_hw)} — mask/frame resolutions must match")
         return np.asarray(erode_full_support(jnp.asarray(mask)))
 
     def process_image(self, input_path: str, mask_path: str,
@@ -632,6 +633,22 @@ class StyleTransferInference:
         # list shrinks at different rates per process, double-writing the
         # same output from two hosts).
         nproc, me = jax.process_count(), jax.process_index()
+        mask_dir = Path(self.cfg.paths.mask_dir)
+        mask_optional = mask_dir.name.endswith("ignore")
+
+        def aux_ready(p: Path) -> bool:
+            """Producers often write the frame before its mask/guide
+            channels — wait for ALL of a frame's inputs before counting an
+            attempt (a frame whose mask never comes just stays pending)."""
+            if not mask_optional and not os.path.exists(
+                    find_corresponding_image(str(mask_dir), p.name)):
+                return False
+            for ccfg in self.additional_channels.values():
+                if not os.path.exists(
+                        find_corresponding_image(ccfg["path"], str(p))):
+                    return False
+            return True
+
         done: set = set()
         attempts: Dict[str, int] = {}
         idle = 0.0
@@ -653,9 +670,16 @@ class StyleTransferInference:
                         continue  # possibly still being written
                 except OSError:
                     continue
+                if not aux_ready(p):
+                    continue  # mask/guide not landed yet: retry next poll
                 new.append(p)
             if new:
-                self.process_directory(files=new, progress=False)
+                try:
+                    self.process_directory(files=new, progress=False)
+                except Exception as e:
+                    # the service must outlive a bad batch; per-frame
+                    # attempts below decide retry vs give-up
+                    self.logger.error(f"Batch failed: {e}")
                 for p in new:
                     if (output_dir / p.name).exists():
                         done.add(p.name)
@@ -818,7 +842,8 @@ class StyleTransferInference:
             if self.devices != 1:
                 out = self._stylize_group_pod(frames, masks, group_boxes)
             elif len(group) == 1:
-                u8, _, _ = self._stylize_device(frames[0], masks[0])
+                u8, _, _ = self._stylize_device(frames[0], masks[0],
+                                                boxes=group_boxes[0])
                 out = u8[None]
             else:
                 out = self._stylize_group(frames, masks, group_boxes)
@@ -893,16 +918,26 @@ class StyleTransferInference:
                     group.append((frame, eff_mask, boxes, input_path,
                                   rgb_u8, mbox))
                     if len(group) >= group_size:
-                        dispatch_group(group)
-                        group = []
+                        # hand off and CLEAR before dispatching: a failed
+                        # dispatch must drop its group, not poison every
+                        # later one (per-file resilience, generator.py:700)
+                        g, group = group, []
+                        dispatch_group(g)
                 except Exception as e:
                     self.logger.error(
                         f"Failed to process {input_path.name}: {e}")
                     continue
-            if group:
-                dispatch_group(group)
-            while in_flight:
-                drain_one()
+            try:
+                if group:
+                    dispatch_group(group)
+                while in_flight:
+                    drain_one()
+            except Exception as e:
+                # deferred device errors surface at the tail fetch; drop the
+                # affected groups but still flush the writer (and keep a
+                # long-running watch service alive)
+                self.logger.error(f"Tail drain failed: {e}")
+                in_flight.clear()
         failed = writer.flush()
         writer.close()
         if failed:
@@ -1036,8 +1071,15 @@ class StyleTransferInference:
 
         # Chain state lives on the engine so watch mode continues the warp
         # chain (and the global flow index) across polls; a fresh engine —
-        # every one-shot CLI run — starts clean.
-        base = getattr(self, "_temporal_index", 0)
+        # every one-shot CLI run — starts clean. Positions are keyed by
+        # NAME so a watch-mode retry of a failed frame reuses its original
+        # stream position instead of drifting every later frame's flow.
+        if not hasattr(self, "_temporal_positions"):
+            self._temporal_positions: Dict[str, int] = {}
+        pos = self._temporal_positions
+
+        def gi_of(path: Path) -> int:
+            return pos.setdefault(path.name, len(pos))
 
         def load_flow(i: int):
             if flow_dir is None:
@@ -1051,7 +1093,8 @@ class StyleTransferInference:
         pending = None  # (u8 device array, save_path, boxes) being read back
         pool = ThreadPoolExecutor(max_workers=1)
         futures = {0: pool.submit(load_one, files[0])} if files else {}
-        flow_futures = {0: pool.submit(load_flow, base)} if files else {}
+        flow_futures = {0: pool.submit(load_flow, gi_of(files[0]))} \
+            if files else {}
 
         def drain_pending():
             nonlocal pending
@@ -1067,11 +1110,12 @@ class StyleTransferInference:
 
         for i, input_path in enumerate(tqdm(files, desc="Temporal frames",
                                             disable=not progress)):
-            gi = base + i  # global frame index (flow files are indexed by
-            #                position in the whole stream, not this batch)
+            gi = gi_of(input_path)  # global stream position (flow files are
+            #                         indexed by it, not the batch index)
             if i + 1 < len(files):
                 futures[i + 1] = pool.submit(load_one, files[i + 1])
-                flow_futures[i + 1] = pool.submit(load_flow, gi + 1)
+                flow_futures[i + 1] = pool.submit(load_flow,
+                                                  gi_of(files[i + 1]))
             try:
                 # pop BOTH futures before any .result() so a failed decode
                 # can't leak the (multi-MB) flow entry in flow_futures
@@ -1104,8 +1148,6 @@ class StyleTransferInference:
                 self.logger.error(f"Failed to process {input_path.name}: {e}")
                 prev_float = None  # restart the temporal chain
                 continue
-            finally:
-                self._temporal_index = gi + 1
         drain_pending()
         self._temporal_prev = prev_float
         pool.shutdown(wait=False)
