@@ -38,6 +38,8 @@ def bench_inference(frames: int = 30) -> dict:
     ~27% faster compute, but its 3x-larger readback granularity can lose
     when the transport is congested.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax
     import jax.numpy as jnp
 
@@ -47,6 +49,8 @@ def bench_inference(frames: int = 30) -> dict:
         pack_boxes_multi,
         tile_boxes_from_mask,
     )
+
+    fetch_pool = ThreadPoolExecutor(max_workers=6)
     from patch_toon_tpu.models import GeneratorJ
     from patch_toon_tpu.utils.xla_options import resolve_xla_options
 
@@ -102,7 +106,9 @@ def bench_inference(frames: int = 30) -> dict:
             fpd * n / max(queued(2 * n) - queued(n), 1e-9)
             for _ in range(2))
 
-        # streaming: every frame fully fetched, async-overlapped
+        # streaming: every frame fully fetched, concurrent thread-fetches
+        # exactly like the engine's drain (6 streams ~2.1x serial tunnel
+        # bandwidth, tools/profile_transport.py)
         def one_window() -> float:
             dispatches = max(1, frames // fpd)
             t0 = time.perf_counter()
@@ -113,11 +119,11 @@ def bench_inference(frames: int = 30) -> dict:
                     o.copy_to_host_async()
                 except Exception:
                     pass
-                in_flight.append(o)
-                if len(in_flight) > 3:
-                    np.asarray(in_flight.pop(0))
-            for o in in_flight:
-                np.asarray(o)
+                in_flight.append(fetch_pool.submit(np.asarray, o))
+                if len(in_flight) > 7:
+                    in_flight.pop(0).result()
+            for f in in_flight:
+                f.result()
             return dispatches * fpd / (time.perf_counter() - t0)
 
         stream_fps = max(one_window() for _ in range(3))
@@ -139,10 +145,16 @@ def bench_inference(frames: int = 30) -> dict:
     # with and without the cropped fetch to expose the transport saving.
     from patch_toon_tpu.infer.tiling import frames_per_dispatch
 
+    from patch_toon_tpu.infer.engine import compute_crop_bbox
+
     m2 = np.zeros((h, w), np.float32)
     m2[100:412, 180:730] = 1.0  # 36.8% of the frame
-    y0, y1 = 64, 448  # 64-aligned mask-support bbox (what the engine crops)
-    x0, x1 = 128, 768
+    # the engine's own crop logic (mask-support bbox, 64-aligned) — derived,
+    # not hand-coded, so engine changes can't silently desync the bench
+    rows = np.flatnonzero(m2.any(axis=1))
+    cols = np.flatnonzero(m2.any(axis=0))
+    mbox = (int(rows[0]), int(rows[-1]) + 1, int(cols[0]), int(cols[-1]) + 1)
+    y0, y1, x0, x1 = compute_crop_bbox([mbox], h, w)
     boxes2 = tile_boxes_from_mask(m2, ps, 30.0)
     fpd2 = frames_per_dispatch(len(boxes2))
     bucket2 = bucket_size(fpd2 * len(boxes2))
@@ -169,11 +181,11 @@ def bench_inference(frames: int = 30) -> dict:
                 o.copy_to_host_async()
             except Exception:
                 pass
-            in_flight.append(o)
-            if len(in_flight) > 3:
-                np.asarray(in_flight.pop(0))
-        for o in in_flight:
-            np.asarray(o)
+            in_flight.append(fetch_pool.submit(np.asarray, o))
+            if len(in_flight) > 7:
+                in_flight.pop(0).result()
+        for f in in_flight:
+            f.result()
         return dispatches * fpd2 / (time.perf_counter() - t0)
 
     crop_fps = max(masked_window(True) for _ in range(3))
@@ -184,6 +196,66 @@ def bench_inference(frames: int = 30) -> dict:
     results["tiled_masked_streaming"] = round(crop_fps, 3)
     results["tiled_masked_streaming_fullfetch"] = round(full_fps, 3)
     return results
+
+
+def bench_transport(frames: int = 8) -> dict:
+    """Raw device->host transport bandwidth, recorded every bench run.
+
+    The streaming headline is claimed transport-gated (BASELINE.md: the same
+    1.4 MB frame fetch measured 9-90 ms across days through the axon
+    tunnel); this makes that a *number in the JSON* instead of prose. A
+    512x910 uint8 frame is ~1.40 MB, so single-stream transport alone caps
+    streaming at ``transport_MBps / 1.4`` fps. Also measures a 4-way
+    concurrent row-band fetch (thread-per-slice np.asarray) to test whether
+    the tunnel is single-stream-limited.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    h, w = 512, 910
+    mb = h * w * 3 / 1e6
+    rng = np.random.default_rng(0)
+    # distinct arrays so no transfer-level caching can kick in
+    arrs = [jnp.asarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+            for _ in range(frames)]
+    jax.block_until_ready(arrs)
+    np.asarray(arrs[0])  # transport warm-up
+
+    times = []
+    for a in arrs:
+        t0 = time.perf_counter()
+        np.asarray(a)
+        times.append(time.perf_counter() - t0)
+    single_best = mb / min(times)
+    single_median = mb / float(np.median(times))
+
+    # concurrent whole-frame fetch, K streams — the engine's actual drain
+    # pattern (readback_streams); measures the multiplexed tunnel ceiling
+    K = 6
+    with ThreadPoolExecutor(max_workers=K) as pool:
+        list(pool.map(np.asarray, arrs[:K]))  # warm the pool
+        ktimes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(pool.map(np.asarray, arrs[:K]))
+            ktimes.append((time.perf_counter() - t0) / K)
+    conc_best = mb / min(ktimes)
+    conc_median = mb / float(np.median(ktimes))
+
+    print(f"[bench] transport: single-stream {single_median:.1f} MB/s "
+          f"(best {single_best:.1f}), {K}-stream concurrent "
+          f"{conc_median:.1f} MB/s (best {conc_best:.1f}); concurrent cap "
+          f"{conc_median / mb:.1f} fps @ {mb:.2f} MB/frame",
+          file=sys.stderr)
+    return {
+        "transport_MBps": round(single_median, 1),
+        "transport_MBps_best": round(single_best, 1),
+        "transport_concurrent6_MBps": round(conc_median, 1),
+        "transport_concurrent6_MBps_best": round(conc_best, 1),
+        "transport_cap_fps": round(conc_median / mb, 1),
+    }
 
 
 def bench_training(steps: int = 50) -> float:
@@ -275,6 +347,10 @@ def bench_fullframe(frames: int = 30) -> dict:
     compute_fps = max(n / max(queued(2 * n) - queued(n), 1e-9)
                       for _ in range(2))
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    fetch_pool = ThreadPoolExecutor(max_workers=6)
+
     def one_window() -> float:
         t0 = time.perf_counter()
         in_flight = []
@@ -284,11 +360,11 @@ def bench_fullframe(frames: int = 30) -> dict:
                 o.copy_to_host_async()
             except Exception:
                 pass
-            in_flight.append(o)
-            if len(in_flight) > 4:
-                np.asarray(in_flight.pop(0))
-        for o in in_flight:
-            np.asarray(o)
+            in_flight.append(fetch_pool.submit(np.asarray, o))
+            if len(in_flight) > 7:
+                in_flight.pop(0).result()
+        for f in in_flight:
+            f.result()
         return frames / (time.perf_counter() - t0)
 
     return {"fullframe_streaming": round(max(one_window() for _ in range(3)),
@@ -300,6 +376,11 @@ def main() -> None:
     from patch_toon_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    try:
+        transport = bench_transport()
+    except Exception as e:
+        print(f"[bench] transport bench failed: {e}", file=sys.stderr)
+        transport = {}
     tiled = bench_inference()
     try:
         pps = bench_training()
@@ -327,6 +408,7 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(headline / REF_FPS, 1),
         "vs_northstar_30fps": round(headline / 30.0, 3),
+        **transport,
         **tiled,
         **ff,
     }

@@ -288,10 +288,13 @@ class StyleTransferDataset:
         exhaustion. Device formulation: per-image cursor into a permuted slot
         table; draws of the same image within one batch take consecutive
         cursor offsets (the in-batch occurrence count, a (B,B) comparison);
-        rows whose cursor wraps are re-permuted for the NEXT batch, with the
-        wrap itself reading the old permutation modulo count (deviation from
-        the reference's immediate refill — differs only in the order of the
-        <= batch_size draws that straddle a pool reset; PARITY_NOTES #16).
+        rows whose cursor wraps are re-permuted for the NEXT batch with the
+        cursor reset to 0, so every fresh permutation is consumed in full.
+        Deviation from the reference's immediate refill: the < batch_size
+        draws that straddle a pool reset re-read the OLD permutation modulo
+        count (they may repeat centers drawn earlier in that cycle) instead
+        of starting the new one mid-batch; full-coverage cycles resume from
+        the next batch (PARITY_NOTES #16).
 
         Returns (new_state, batch).
         """
@@ -307,7 +310,10 @@ class StyleTransferDataset:
         draws = jnp.zeros((self.num_images,), jnp.int32).at[imgs].add(1)
         advanced = state["cursor"] + draws
         wrapped = advanced >= self.counts
-        new_cursor = advanced % self.counts
+        # wrapped rows restart their FRESH permutation at 0 (not at
+        # advanced % count, which would skip that permutation's first slots
+        # every cycle and cost up to batch_size centers of coverage)
+        new_cursor = jnp.where(wrapped, 0, advanced)
         new_perm = jax.lax.cond(
             jnp.any(wrapped),
             lambda: jnp.where(wrapped[:, None],

@@ -341,6 +341,47 @@ def make_pod_multiframe_fn(generator, patch_size: int, bucket: int,
                    compiler_options=compiler_options)
 
 
+def _parse_crop_knob(value) -> bool:
+    """Strict allow-list (like resolve_xla_options): a typo like 'of' or
+    'disable' must raise, not silently enable cropping."""
+    knob = str(value).lower()
+    if knob in ("auto", "on", "true", "1", "yes"):
+        return True
+    if knob in ("off", "false", "0", "no", "none", "disabled"):
+        return False
+    raise ValueError(
+        f"inference.crop_readback={value!r}: expected one of "
+        "auto/on/true/1/yes or off/false/0/no/none/disabled")
+
+
+def compute_crop_bbox(mask_boxes, h: int, w: int,
+                      align: int = 64, full_frac: float = 0.85):
+    """Readback bbox for a group of frames: the union of their mask-support
+    bboxes, padded to ``align``-multiples (bounds the number of distinct
+    slice shapes, so mask drift doesn't recompile). The mask support — not
+    the tile union — is what bounds every pixel the composite can change.
+    Returns None when any frame is maskless (stylized everywhere) or the
+    union covers >= ``full_frac`` of the frame (cropping saves nothing).
+
+    Module-level (not an engine method) so bench.py derives its masked-
+    workload bbox from the SAME logic the engine ships."""
+    if any(mb is None for mb in mask_boxes):
+        return None  # maskless frames stylize everywhere
+    live = [mb for mb in mask_boxes if mb[1] > mb[0]]
+    if not live:
+        live = [(0, 1, 0, 1)]  # all masks empty: fetch 1 row
+    y0 = min(mb[0] for mb in live)
+    y1 = max(mb[1] for mb in live)
+    x0 = min(mb[2] for mb in live)
+    x1 = max(mb[3] for mb in live)
+    y0, x0 = (y0 // align) * align, (x0 // align) * align
+    y1 = min(h, -(-y1 // align) * align)
+    x1 = min(w, -(-x1 // align) * align)
+    if (y1 - y0) * (x1 - x0) >= full_frac * h * w:
+        return None  # near-full frame: cropping saves nothing
+    return y0, y1, x0, x1
+
+
 class StyleTransferInference:
     def __init__(self, cfg: Any):
         self.cfg = cfg
@@ -363,12 +404,18 @@ class StyleTransferInference:
         # inference.devices: 1 = single chip; N = frames sharded over an
         # N-chip 'data' mesh (pod streaming); -1 = all chips
         self.devices = int(inf.get("devices", 1))
-        # crop the D2H readback to the stylized (tile-union) bbox; outside
+        # crop the D2H readback to the stylized (mask-support) bbox; outside
         # the mask the composite equals the input bytes exactly, so the
         # frame is reconstructed host-side bit-identically. Big win on
         # slow/congested transports when the mask covers part of the frame.
-        self.crop_readback = str(inf.get("crop_readback", "auto")).lower() \
-            not in ("off", "false", "0", "no", "none", "disabled")
+        self.crop_readback = _parse_crop_knob(
+            inf.get("crop_readback", "auto"))
+        # concurrent D2H fetch streams: the axon tunnel (and remote
+        # transports generally) multiplex — 6 thread-fetches measured 2.1x
+        # one serial fetch's bandwidth, saturating near 6-8 streams
+        # (tools/profile_transport.py, docs/perf/transport_r3.json).
+        # 1 = serial drain.
+        self.readback_streams = max(1, int(inf.get("readback_streams", 6)))
         from patch_toon_tpu.utils.xla_options import resolve_xla_options
 
         # per-compile XLA option tuning (docs/perf/xla_ab.json); "auto"
@@ -651,6 +698,12 @@ class StyleTransferInference:
 
         done: set = set()
         attempts: Dict[str, int] = {}
+        # frames whose mask/guides haven't landed: first-seen time, so a
+        # stuck producer is diagnosable (warned once per frame after
+        # aux_warn_seconds, default 30s) instead of pending forever silently
+        aux_warn_after = float(wcfg.get("aux_warn_seconds", 30.0))
+        waiting_since: Dict[str, float] = {}
+        aux_warned: set = set()
         idle = 0.0
         self.logger.info(
             f"Watching {input_dir} (poll {poll}s, "
@@ -660,6 +713,11 @@ class StyleTransferInference:
             new = []
             for p in sorted(input_dir.glob("*.[pj][np][g]")):
                 if p.name in done or (output_dir / p.name).exists():
+                    if p.name not in done and self.temporal_enabled:
+                        # keep the global flow index consistent when the
+                        # service restarts over a partially stylized
+                        # directory (sorted order == stream order)
+                        self._temporal_register(p.name)
                     done.add(p.name)
                     continue
                 if nproc > 1 and not self.temporal_enabled \
@@ -671,7 +729,17 @@ class StyleTransferInference:
                 except OSError:
                     continue
                 if not aux_ready(p):
+                    first = waiting_since.setdefault(p.name, now)
+                    if p.name not in aux_warned \
+                            and now - first >= aux_warn_after:
+                        aux_warned.add(p.name)
+                        self.logger.warning(
+                            f"{p.name}: mask/guide channels still missing "
+                            f"after {now - first:.0f}s; frame stays pending "
+                            "until they arrive")
                     continue  # mask/guide not landed yet: retry next poll
+                waiting_since.pop(p.name, None)
+                aux_warned.discard(p.name)
                 new.append(p)
             if new:
                 try:
@@ -798,9 +866,15 @@ class StyleTransferInference:
                 self.logger.error(f"{failed} frame writes failed")
             return
 
+        # fetch pool: each in-flight group's D2H readback runs in its own
+        # thread so transfers overlap on the wire — the tunnel multiplexes
+        # (4 concurrent fetches measured 1.8x one serial fetch's bandwidth,
+        # tools/profile_transport.py); a serial drain leaves that unused
+        fetch_pool = ThreadPoolExecutor(max_workers=self.readback_streams)
+
         def drain_one():
-            out, group_boxes, save_paths, crop = in_flight.pop(0)
-            arr = np.asarray(out)  # (F, H, W, 3) or cropped (F, bh, bw, 3)
+            fut, group_boxes, save_paths, crop = in_flight.pop(0)
+            arr = fut.result()  # (F, H, W, 3) or cropped (F, bh, bw, 3)
             for k, save_path in enumerate(save_paths):
                 if crop is not None:
                     (y0, y1, x0, x1), rgb_u8s = crop
@@ -814,25 +888,9 @@ class StyleTransferInference:
                     self._save_debug_overlay(img, str(save_path))
 
         def crop_bbox(mask_boxes, h, w):
-            """Union of the group's mask-support bboxes, padded to
-            64-multiples (bounds the number of distinct slice shapes, so
-            mask drift doesn't recompile). The mask support — not the tile
-            union — is what bounds every pixel the composite can change."""
-            if not self.crop_readback \
-                    or any(mb is None for mb in mask_boxes):
-                return None  # maskless frames stylize everywhere
-            live = [mb for mb in mask_boxes if mb[1] > mb[0]]
-            if not live:
-                live = [(0, 1, 0, 1)]  # all masks empty: fetch 1 row
-            y0 = min(mb[0] for mb in live)
-            y1 = max(mb[1] for mb in live)
-            x0 = min(mb[2] for mb in live)
-            x1 = max(mb[3] for mb in live)
-            y0, x0 = (y0 // 64) * 64, (x0 // 64) * 64
-            y1, x1 = min(h, -(-y1 // 64) * 64), min(w, -(-x1 // 64) * 64)
-            if (y1 - y0) * (x1 - x0) >= 0.85 * h * w:
-                return None  # near-full frame: cropping saves nothing
-            return y0, y1, x0, x1
+            if not self.crop_readback:
+                return None
+            return compute_crop_bbox(mask_boxes, h, w)
 
         def dispatch_group(group):
             frames = [g[0] for g in group]
@@ -858,9 +916,17 @@ class StyleTransferInference:
                 out.copy_to_host_async()
             except Exception:
                 pass
-            in_flight.append((out, group_boxes, paths, crop))
-            if len(in_flight) > 2:
-                drain_one()
+            in_flight.append((fetch_pool.submit(np.asarray, out),
+                              group_boxes, paths, crop))
+            # window deep enough to keep readback_streams transfers truly
+            # concurrent while the device runs ahead one dispatch
+            if len(in_flight) > self.readback_streams + 1:
+                try:
+                    drain_one()
+                except Exception as e:
+                    # a deferred device error belongs to the DRAINED group
+                    # (already popped), not the group just dispatched
+                    self.logger.error(f"Readback failed for a group: {e}")
 
         # frames-per-dispatch: co-batch frames so the pow2 tile bucket stays
         # full (tiling.frames_per_dispatch); 'auto' decides from frame 0
@@ -917,27 +983,40 @@ class StyleTransferInference:
                                 f"(~{len(boxes)} tiles/frame)")
                     group.append((frame, eff_mask, boxes, input_path,
                                   rgb_u8, mbox))
-                    if len(group) >= group_size:
-                        # hand off and CLEAR before dispatching: a failed
-                        # dispatch must drop its group, not poison every
-                        # later one (per-file resilience, generator.py:700)
-                        g, group = group, []
-                        dispatch_group(g)
                 except Exception as e:
                     self.logger.error(
                         f"Failed to process {input_path.name}: {e}")
                     continue
+                if len(group) >= group_size:
+                    # hand off and CLEAR before dispatching: a failed
+                    # dispatch must drop its group, not poison every
+                    # later one (per-file resilience, generator.py:700)
+                    g, group = group, []
+                    try:
+                        dispatch_group(g)
+                    except Exception as e:
+                        # a failed dispatch drops EVERY frame in the group
+                        # — name them all, not just the one that tripped it
+                        names = ", ".join(x[3].name for x in g)
+                        self.logger.error(
+                            f"Dispatch failed; dropping group "
+                            f"[{names}]: {e}")
             try:
                 if group:
                     dispatch_group(group)
-                while in_flight:
-                    drain_one()
             except Exception as e:
-                # deferred device errors surface at the tail fetch; drop the
-                # affected groups but still flush the writer (and keep a
-                # long-running watch service alive)
-                self.logger.error(f"Tail drain failed: {e}")
-                in_flight.clear()
+                names = ", ".join(x[3].name for x in group)
+                self.logger.error(
+                    f"Dispatch failed; dropping group [{names}]: {e}")
+            while in_flight:
+                # deferred device errors surface at the tail fetch; drop
+                # only the group whose fetch failed and keep draining the
+                # rest (they are independent dispatches)
+                try:
+                    drain_one()
+                except Exception as e:
+                    self.logger.error(f"Tail drain failed for a group: {e}")
+        fetch_pool.shutdown(wait=False)
         failed = writer.flush()
         writer.close()
         if failed:
@@ -1042,6 +1121,26 @@ class StyleTransferInference:
             jnp.asarray(np.stack(masks))[..., None])
         return u8
 
+    def _temporal_register(self, name: str) -> int:
+        """Global stream position of a frame, persisted on the engine.
+
+        Flow files (``flow_bwd/{i}.npy``) are indexed by POSITION in the
+        sorted frame stream (tools/optical_flow.py numbers by list index,
+        whatever the frames are named), so positions are assigned strictly
+        first-seen — NOT parsed from filenames, whose numbering may be
+        1-based (make_sample_scene) while positions are 0-based. The
+        mapping survives watch-service restarts over a partially stylized
+        directory because watch_directory pre-registers already-stylized
+        frames in sorted order before any new frame is processed (ADVICE
+        r2: a restart must not reset the counter and load the wrong
+        flow); a retry of a failed frame reuses its original position."""
+        if not hasattr(self, "_temporal_positions"):
+            self._temporal_positions: Dict[str, int] = {}
+        pos = self._temporal_positions
+        if name not in pos:
+            pos[name] = max(pos.values(), default=-1) + 1
+        return pos[name]
+
     def _process_directory_temporal(self, files, load_one, output_dir,
                                     writer, progress: bool = True) -> None:
         """Temporal-guide stylization: each frame's input gains channels
@@ -1074,12 +1173,8 @@ class StyleTransferInference:
         # every one-shot CLI run — starts clean. Positions are keyed by
         # NAME so a watch-mode retry of a failed frame reuses its original
         # stream position instead of drifting every later frame's flow.
-        if not hasattr(self, "_temporal_positions"):
-            self._temporal_positions: Dict[str, int] = {}
-        pos = self._temporal_positions
-
         def gi_of(path: Path) -> int:
-            return pos.setdefault(path.name, len(pos))
+            return self._temporal_register(path.name)
 
         def load_flow(i: int):
             if flow_dir is None:

@@ -74,6 +74,7 @@ def fit(
     # (one dispatch per step); permutation mode keeps host index bookkeeping
     # so it samples separately and feeds the batch in.
     fused = dataset.sampling == "uniform"
+    two_forward = bool(tc.get("two_forward", False))
     if fused:
         from patch_toon_tpu.parallel.mesh import batch_sharding as _bs
 
@@ -81,11 +82,12 @@ def fit(
             model,
             sampler=lambda r: dataset.sample_batch(r, batch_size),
             batch_sharding=_bs(mesh) if mesh is not None else None,
+            two_forward=two_forward,
         )
         sample = None
     else:
         sample = dataset.make_sampler(batch_size, mesh)
-        step_fn = make_train_step(model)
+        step_fn = make_train_step(model, two_forward=two_forward)
 
     # jitted eval-mode forward + standalone sampler for image logging
     eval_forward = jax.jit(
@@ -108,15 +110,30 @@ def fit(
     channel_depths = [d for _, _, d in dataset.channel_items]
 
     steps_per_epoch = dataset.steps_per_epoch(batch_size)
-    max_steps = tc.get("max_steps")  # optional global step cap (smoke runs)
-    if max_steps:
-        steps_per_epoch = min(steps_per_epoch, int(max_steps))
+    # optional GLOBAL step cap (smoke runs): training stops once the total
+    # step count reaches it, however many epochs that spans
+    max_steps = int(tc.get("max_steps") or 0)
+    # top-k checkpoint score: "last_step" = the epoch's final per-step
+    # g_total_loss (lightning ModelCheckpoint parity, PARITY_NOTES #18),
+    # "epoch_mean" / "epoch_min" = smoother alternatives
+    score_mode = str(tc.get("checkpoint_score", "last_step"))
+    if score_mode not in ("last_step", "epoch_mean", "epoch_min"):
+        raise ValueError(
+            f"training.checkpoint_score={score_mode!r}: expected "
+            "last_step, epoch_mean or epoch_min")
     best_score = float("inf")
     epochs_without_improvement = 0
     global_step = int(state.step)
     # resume continues the epoch numbering (lightning resume semantics) so
-    # a resumed run never overwrites pre-resume epoch checkpoints
-    start_epoch = global_step // steps_per_epoch if resume_from else 0
+    # a resumed run never overwrites pre-resume epoch checkpoints. The
+    # epoch comes from the checkpoint's meta sidecar — deriving it from
+    # step // steps_per_epoch breaks when a global max_steps made the
+    # pre-resume epochs shorter than steps_per_epoch.
+    start_epoch = 0
+    if resume_from:
+        meta = CheckpointManager.read_meta(resume_from) or {}
+        start_epoch = (int(meta["epoch"]) + 1 if "epoch" in meta
+                       else global_step // steps_per_epoch)
 
     if primary:
         print(f"Training: {max_epochs} epochs x {steps_per_epoch} steps, "
@@ -130,15 +147,26 @@ def fit(
     if profile_dir:
         jax.profiler.start_trace(str(profile_dir))
 
-    # reference LearningRateMonitor scalar (train.py:34-36) — constant lr here
-    lr = float(tc.get("learning_rate", tc.get("lr", 0.0)) or 0.0)
+    # reference LearningRateMonitor scalar (train.py:34-36) — constant lr,
+    # read from the optimizer config that actually builds the Adam (an
+    # optimizer.generator.lr override must show up here, not a stale
+    # training.learning_rate)
+    lr = float(model.optimizer_config["generator"].get("lr", 0.0) or 0.0)
 
+    stop = False
     for epoch in range(start_epoch, max_epochs):
-        # device-side running sum: one scalar D2H fetch per epoch instead of
-        # a burst of per-step fetches at epoch end (slow over the tunnel)
+        steps_this_epoch = steps_per_epoch
+        if max_steps:
+            steps_this_epoch = min(steps_per_epoch,
+                                   max(0, max_steps - global_step))
+            if steps_this_epoch == 0:
+                break
+        # device-side running sum/min: one fused scalar D2H fetch per epoch
+        # instead of a burst of per-step fetches (slow over the tunnel)
         epoch_loss_sum = jnp.zeros((), jnp.float32)
+        epoch_loss_min = jnp.full((), jnp.inf, jnp.float32)
         t0 = time.perf_counter()
-        for _ in range(steps_per_epoch):
+        for _ in range(steps_this_epoch):
             rng, sk, tk = jax.random.split(rng, 3)
             if fused:
                 state, metrics = step_fn(state, tk)
@@ -148,6 +176,8 @@ def fit(
             global_step += 1
 
             epoch_loss_sum = epoch_loss_sum + metrics["g_total_loss"]
+            epoch_loss_min = jnp.minimum(epoch_loss_min,
+                                         metrics["g_total_loss"])
             if global_step % log_every == 0:
                 # single fused transfer: per-scalar fetches each pay a full
                 # host<->device round trip (expensive over remote transports)
@@ -178,9 +208,15 @@ def fit(
             profile_dir = None
             print(f"Profiler trace of epoch 0 written to {tc['profile_dir']}")
 
-        mean_loss = float(np.asarray(epoch_loss_sum)) / max(1, steps_per_epoch)
+        # one fused fetch for all three epoch scalars (sum, min, last step)
+        sums = np.asarray(jnp.stack(
+            [epoch_loss_sum, epoch_loss_min, metrics["g_total_loss"]]))
+        mean_loss = float(sums[0]) / max(1, steps_this_epoch)
+        score = {"last_step": float(sums[2]),
+                 "epoch_mean": mean_loss,
+                 "epoch_min": float(sums[1])}[score_mode]
         dt = time.perf_counter() - t0
-        pps = steps_per_epoch * batch_size / dt
+        pps = steps_this_epoch * batch_size / dt
         if progress and primary:
             print(f"epoch {epoch}: g_total_loss={mean_loss:.4f} "
                   f"({dt:.1f}s, {pps:,.0f} patches/s)")
@@ -191,12 +227,17 @@ def fit(
             # fully-replicated state is process-local readable: fetch to host
             # so orbax sees plain numpy; ALL processes call save (orbax has
             # an internal barrier) but only process 0 writes/prunes
-            ckpt.save(jax.device_get(state), epoch, mean_loss)
+            ckpt.save(jax.device_get(state), epoch, score)
         else:
-            ckpt.save(state, epoch, mean_loss)
+            ckpt.save(state, epoch, score)
 
-        if mean_loss < best_score - 1e-12:
-            best_score = mean_loss
+        if max_steps and global_step >= max_steps:
+            if primary:
+                print(f"Reached training.max_steps={max_steps}; stopping")
+            stop = True
+
+        if score < best_score - 1e-12:
+            best_score = score
             epochs_without_improvement = 0
         else:
             epochs_without_improvement += 1
@@ -204,6 +245,8 @@ def fit(
                 print(f"Early stopping at epoch {epoch} "
                       f"(no improvement for {patience} epochs)")
                 break
+        if stop:
+            break
 
     logger.close()
     return state

@@ -41,6 +41,7 @@ def make_train_step(
     sampler: Optional[Callable[[jax.Array], Dict[str, jax.Array]]] = None,
     batch_sharding: Optional[Any] = None,
     xla_options: Any = "auto",
+    two_forward: bool = False,
 ) -> Callable[..., Tuple[GANTrainState, Metrics]]:
     """Build the jitted GAN step.
 
@@ -50,6 +51,13 @@ def make_train_step(
     exactly one dispatch (one host->device round-trip through any transport).
     ``batch_sharding`` optionally pins the sampled batch's layout (the data
     mesh axis) via a sharding constraint.
+
+    ``two_forward=True`` replaces the one-forward vjp restructure with the
+    reference's literal two generator forwards (no_grad forward for the D
+    phase, fresh grad forward for the G phase, BatchNorm stats advancing
+    naturally in each) — an ablation/parity mode (training.two_forward) for
+    isolating the restructure in quality studies; values should be
+    bit-comparable, at ~20% more compute.
     """
     from patch_toon_tpu.utils.xla_options import resolve_xla_options
 
@@ -109,17 +117,26 @@ def make_train_step(
         # step, is replicated arithmetically below.
         d_params, d_opt = state.d_params, state.d_opt
 
-        def g_fwd_only(p):
-            return g_forward(p, state.g_batch_stats, x)
+        if two_forward:
+            # reference-literal mode: forward #1 under (emulated) no_grad
+            # feeds the D phase and advances BN stats once; forward #2 in
+            # the G phase (below) carries the gradient and advances again
+            gen0, bs1 = g_forward(state.g_params, state.g_batch_stats, x)
+            gen_value = jax.lax.stop_gradient(gen0)
+            bs1 = jax.tree.map(jax.lax.stop_gradient, bs1)
+            g_vjp = bs_new = None
+        else:
+            def g_fwd_only(p):
+                return g_forward(p, state.g_batch_stats, x)
 
-        (gen, bs_new), g_vjp = jax.vjp(g_fwd_only, state.g_params,
-                                       has_aux=False)
-        gen_value = jax.lax.stop_gradient(gen)
+            (gen, bs_new), g_vjp = jax.vjp(g_fwd_only, state.g_params,
+                                           has_aux=False)
+            gen_value = jax.lax.stop_gradient(gen)
 
         if D is not None:
             # reference applies the BN momentum update in BOTH forwards:
             # m2 = 0.9*m1 + 0.1*b == m1 + 0.9*(m1 - m0)
-            bs2 = jax.tree.map(
+            bs2 = None if two_forward else jax.tree.map(
                 lambda new, old: new + 0.9 * (new - old),
                 bs_new, state.g_batch_stats,
             )
@@ -139,7 +156,7 @@ def make_train_step(
                 d_real_loss=real_loss, d_fake_loss=fake_loss, d_total_loss=d_loss
             )
         else:
-            bs2 = bs_new
+            bs2 = None if two_forward else bs_new
 
         # ---- generator phase (adversarial term vs the UPDATED D) -------
         def loss_from_gen(g):
@@ -160,11 +177,23 @@ def make_train_step(
                 )
             return sum(losses.values()), losses
 
-        (g_total, g_losses), dgen = jax.value_and_grad(
-            loss_from_gen, has_aux=True)(gen)
-        # pull d(loss)/d(gen) back through the generator; bs_new is a
-        # non-differentiable aux output of the vjp'd function
-        (g_grads,) = g_vjp((dgen, jax.tree.map(jnp.zeros_like, bs_new)))
+        if two_forward:
+            # reference G phase (lightning_model.py:262): a FRESH forward
+            # from the once-advanced stats; its own BN update is the final
+            def g_loss_fn(p):
+                g, bs2b = g_forward(p, bs1, x)
+                total, losses = loss_from_gen(g)
+                return total, (losses, bs2b)
+
+            (g_total, (g_losses, bs2b)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.g_params)
+            bs2 = jax.tree.map(jax.lax.stop_gradient, bs2b)
+        else:
+            (g_total, g_losses), dgen = jax.value_and_grad(
+                loss_from_gen, has_aux=True)(gen)
+            # pull d(loss)/d(gen) back through the generator; bs_new is a
+            # non-differentiable aux output of the vjp'd function
+            (g_grads,) = g_vjp((dgen, jax.tree.map(jnp.zeros_like, bs_new)))
         g_updates, g_opt = tx_g.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 

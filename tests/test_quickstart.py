@@ -55,10 +55,12 @@ def test_default_config_trains_from_empty_cwd(tmp_path, monkeypatch):
     assert (tmp_path / "out" / "run" / "config.yaml").exists()
 
     # resume continues epoch numbering (no overwrite of pre-resume epochs):
-    # max_epochs is the TOTAL target, so 2 trains exactly one more epoch
+    # max_epochs is the TOTAL target, so 2 trains exactly one more epoch;
+    # max_steps is a GLOBAL cap (lightning semantics) — the resumed run
+    # starts at step 2, so 4 allows 2 more steps for epoch 1
     train_mod.main([
         "training.max_epochs=2",
-        "training.max_steps=2",
+        "training.max_steps=4",
         "training.batch_size=4",
         "data.patch_size=32",
         "training.accelerator=cpu",

@@ -274,7 +274,11 @@ def train_torch_replica(steps, batch, frames6, posts, centers, vgg_params,
 # this build's training + inference
 # ---------------------------------------------------------------------------
 
-def train_ours(steps, batch, seed=0):
+def train_ours(steps, batch, seed=0, sampling="uniform", two_forward=False):
+    """``sampling``/``two_forward`` expose the two deliberate training
+    deviations (PARITY_NOTES #1/#16 and #3) for the seed/ablation study
+    (VERDICT r2 #2): 'permutation' restores exact without-replacement
+    draws, two_forward=True the reference's literal double forward."""
     import jax
 
     from patch_toon_tpu.data import StyleTransferDataset
@@ -283,6 +287,7 @@ def train_ours(steps, batch, seed=0):
     dataset = StyleTransferDataset(
         dir_pre=str(SCENE / "input"), dir_post=str(SCENE / "output"),
         dir_mask=str(SCENE / "mask"), patch_size=PATCH,
+        sampling=sampling,
         additional_channels={"point_vector": {
             "path": str(SCENE / "tracking"), "depth": 3}})
     model = StyleTransferModel(
@@ -313,14 +318,24 @@ def train_ours(steps, batch, seed=0):
                 "path": None}}},
     )
     state = model.init_state(jax.random.PRNGKey(seed), patch_size=PATCH)
-    step_fn = make_train_step(
-        model, sampler=lambda r: dataset.sample_batch(r, batch))
+    if sampling == "permutation":
+        sample = dataset.make_sampler(batch)
+        step_fn = make_train_step(model, two_forward=two_forward)
+    else:
+        sample = None
+        step_fn = make_train_step(
+            model, sampler=lambda r: dataset.sample_batch(r, batch),
+            two_forward=two_forward)
     rng = jax.random.PRNGKey(seed + 1)
     losses = []
     t0 = time.time()
     for step in range(steps):
         rng, k = jax.random.split(rng)
-        state, metrics = step_fn(state, k)
+        if sample is not None:
+            ks, kt = jax.random.split(k)
+            state, metrics = step_fn(state, sample(ks), kt)
+        else:
+            state, metrics = step_fn(state, k)
         if step % LOG_EVERY == 0 or step == steps - 1:
             losses.append({"step": step,
                            "g_total": float(metrics["g_total_loss"]),
