@@ -42,16 +42,21 @@ sys.path.insert(0, str(REPO / "tools"))
 
 def build_scene(scene: Path, frames: int, h: int, w: int,
                 noise: float) -> None:
+    """Clean scene for training/flows; a noisy COPY of the inputs for
+    serving. Noise only at inference isolates the question being tested —
+    does the temporal chain suppress per-frame input variation? — and
+    keeps the flows (computed from clean frames) accurate."""
     from make_sample_scene import make_scene
 
     make_scene(str(scene), frames=frames, height=h, width=w, seed=5)
-    if noise > 0:
-        rng = np.random.default_rng(99)
-        for p in sorted((scene / "input").glob("*.png")):
-            img = np.asarray(Image.open(p), np.float32)
-            img = img + rng.normal(0.0, noise * 255.0, img.shape)
-            Image.fromarray(
-                np.clip(np.round(img), 0, 255).astype(np.uint8)).save(p)
+    (scene / "input_noisy").mkdir(exist_ok=True)
+    rng = np.random.default_rng(99)
+    for p in sorted((scene / "input").glob("*.png")):
+        img = np.asarray(Image.open(p), np.float32)
+        img = img + rng.normal(0.0, noise * 255.0, img.shape)
+        Image.fromarray(
+            np.clip(np.round(img), 0, 255).astype(np.uint8)
+        ).save(scene / "input_noisy" / p.name)
 
 
 def train_ckpt(scene: Path, run_dir: Path, steps: int, temporal: bool,
@@ -59,6 +64,9 @@ def train_ckpt(scene: Path, run_dir: Path, steps: int, temporal: bool,
     import train as train_entry
     from patch_toon_tpu.config import compose
 
+    ckpt = run_dir / "checkpoints" / "last"
+    if ckpt.exists():
+        return ckpt
     over = [
         f"data.dir_pre={scene}/input",
         f"data.dir_post={scene}/output",
@@ -90,9 +98,12 @@ def stylize(scene: Path, ckpt: Path, out_dir: Path, temporal: bool) -> None:
     from patch_toon_tpu.config import compose
     from patch_toon_tpu.infer.engine import StyleTransferInference
 
+    n_in = len(list((scene / "input_noisy").glob("*.png")))
+    if len(list(out_dir.glob("*.png"))) == n_in:
+        return  # already stylized (resume)
     over = [
         f"paths.checkpoint={ckpt}",
-        f"paths.input_dir={scene}/input",
+        f"paths.input_dir={scene}/input_noisy",
         f"paths.mask_dir={scene}/mask",
         f"paths.output_dir={out_dir}",
         "paths.additional_channels={}",
@@ -125,7 +136,9 @@ def sequence_metrics(frames_dir: Path, scene: Path, names) -> dict:
         mse_t = ((cur - gt) ** 2)[msk].mean()
         tpsnr.append(10 * np.log10(255.0 ** 2 / max(mse_t, 1e-9)))
         if prev is not None:
-            flow = np.load(str(scene / "flow_bwd" / f"{Path(n).stem}.npy"))
+            # flow files are indexed by POSITION in the sorted stream
+            # (tools/optical_flow.py), not by the frame's filename number
+            flow = np.load(str(scene / "flow_bwd" / (f"{i:03d}.npy")))
             warped = np.asarray(warp_image(
                 jnp.asarray(prev / 255.0), jnp.asarray(flow))) * 255.0
             diff = np.abs(cur - warped)[msk]
@@ -177,7 +190,8 @@ def main() -> None:
     stylize(scene, ck_temp, out / "stylized_temporal", temporal=True)
 
     results = {
-        "input_floor": sequence_metrics(scene / "input", scene, names),
+        "input_floor": sequence_metrics(scene / "input_noisy", scene,
+                                        names),
         "plain": sequence_metrics(out / "stylized_plain", scene, names),
         "temporal": sequence_metrics(out / "stylized_temporal", scene,
                                      names),
@@ -194,12 +208,14 @@ def main() -> None:
         "# Temporal-guide mode: measured flicker reduction",
         "",
         f"Synthetic moving-blob scene ({args.frames} frames "
-        f"{args.height}x{args.width}, per-frame sensor noise sigma "
-        f"{args.noise}), two checkpoints trained {r['steps']} steps each "
-        "with identical budgets (tools/temporal_demo.py): PLAIN (RGB "
-        "input) vs TEMPORAL (RGB + 3 channels carrying the flow-warped "
-        "previous stylized frame, chained through "
-        "`inference.temporal.enabled` at inference).",
+        f"{args.height}x{args.width}); training and flows use the clean "
+        f"frames, then per-frame sensor noise (sigma {args.noise}) is "
+        "injected into the INPUTS AT SERVING TIME — the classic source of "
+        "video flicker for a memoryless per-frame stylizer. Two "
+        f"checkpoints trained {r['steps']} steps each with identical "
+        "budgets (tools/temporal_demo.py): PLAIN (RGB input) vs TEMPORAL "
+        "(RGB + 3 channels carrying the flow-warped previous stylized "
+        "frame, chained through `inference.temporal.enabled`).",
         "",
         "Flicker = mean |out_i − warp(out_{i−1}, flow_i)| inside the mask "
         "(lower is stabler); warped PSNR is the same comparison as PSNR "
