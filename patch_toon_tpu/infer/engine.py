@@ -1185,19 +1185,40 @@ class StyleTransferInference:
             return np.load(str(flow_path))
 
         prev_float = getattr(self, "_temporal_prev", None)
-        pending = None  # (u8 device array, save_path, boxes) being read back
+        pending = None  # (band futures, save_path, boxes) being read back
         pool = ThreadPoolExecutor(max_workers=1)
         futures = {0: pool.submit(load_one, files[0])} if files else {}
         flow_futures = {0: pool.submit(load_flow, gi_of(files[0]))} \
             if files else {}
+        # The chain is one frame at a time, so the group-level concurrent
+        # drain can't apply — instead each frame's readback is split into
+        # row bands fetched by concurrent threads (intra-frame slicing
+        # measured ~1.3x a single stream; tools/profile_transport.py).
+        K = max(1, min(4, self.readback_streams))
+        fetch_pool = ThreadPoolExecutor(max_workers=K)
+
+        def submit_fetch(u8):
+            h = int(u8.shape[0])
+            if K == 1 or h < 8 * K:
+                bands = [u8]
+            else:
+                cuts = [h * j // K for j in range(K + 1)]
+                bands = [u8[cuts[j]:cuts[j + 1]] for j in range(K)]
+            for b in bands:
+                try:
+                    b.copy_to_host_async()
+                except Exception:
+                    pass
+            return [fetch_pool.submit(np.asarray, b) for b in bands]
 
         def drain_pending():
             nonlocal pending
             if pending is None:
                 return
-            u8, save_path, boxes = pending
+            band_futs, save_path, boxes = pending
             pending = None
-            arr = np.asarray(u8)
+            parts = [f.result() for f in band_futs]
+            arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
             writer.submit(str(save_path), arr)
             if self.debug_mode:
                 self.patch_positions = boxes
@@ -1233,12 +1254,9 @@ class StyleTransferInference:
                     [jnp.asarray(frame), guide.astype(jnp.float32)], axis=-1)
                 u8, out_float, boxes = self._stylize_device(full, mask)
                 prev_float = out_float
-                try:
-                    u8.copy_to_host_async()
-                except Exception:
-                    pass
+                band_futs = submit_fetch(u8)
                 drain_pending()  # previous frame's readback, now overlapped
-                pending = (u8, output_dir / input_path.name, boxes)
+                pending = (band_futs, output_dir / input_path.name, boxes)
             except Exception as e:
                 self.logger.error(f"Failed to process {input_path.name}: {e}")
                 prev_float = None  # restart the temporal chain
@@ -1246,3 +1264,4 @@ class StyleTransferInference:
         drain_pending()
         self._temporal_prev = prev_float
         pool.shutdown(wait=False)
+        fetch_pool.shutdown(wait=False)
