@@ -145,16 +145,18 @@ def bench_inference(frames: int = 30) -> dict:
     # with and without the cropped fetch to expose the transport saving.
     from patch_toon_tpu.infer.tiling import frames_per_dispatch
 
-    from patch_toon_tpu.infer.engine import compute_crop_bbox
+    from patch_toon_tpu.infer.engine import (
+        compute_crop_bbox,
+        mask_support_bbox,
+    )
 
     m2 = np.zeros((h, w), np.float32)
     m2[100:412, 180:730] = 1.0  # 36.8% of the frame
     # the engine's own crop logic (mask-support bbox, 64-aligned) — derived,
     # not hand-coded, so engine changes can't silently desync the bench
-    rows = np.flatnonzero(m2.any(axis=1))
-    cols = np.flatnonzero(m2.any(axis=0))
-    mbox = (int(rows[0]), int(rows[-1]) + 1, int(cols[0]), int(cols[-1]) + 1)
-    y0, y1, x0, x1 = compute_crop_bbox([mbox], h, w)
+    bbox = compute_crop_bbox([mask_support_bbox(m2)], h, w)
+    assert bbox is not None, "bench mask unexpectedly maps to a full fetch"
+    y0, y1, x0, x1 = bbox
     boxes2 = tile_boxes_from_mask(m2, ps, 30.0)
     fpd2 = frames_per_dispatch(len(boxes2))
     bucket2 = bucket_size(fpd2 * len(boxes2))
@@ -217,14 +219,20 @@ def bench_transport(frames: int = 8) -> dict:
     h, w = 512, 910
     mb = h * w * 3 / 1e6
     rng = np.random.default_rng(0)
-    # distinct arrays so no transfer-level caching can kick in
-    arrs = [jnp.asarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
-            for _ in range(frames)]
-    jax.block_until_ready(arrs)
-    np.asarray(arrs[0])  # transport warm-up
+
+    # JAX caches the fetched host copy on each array (_npy_value), so a
+    # re-fetch of the SAME array measures a dict lookup, not the wire —
+    # every timed fetch below must touch a never-fetched array
+    def fresh(n):
+        a = [jnp.asarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+             for _ in range(n)]
+        jax.block_until_ready(a)
+        return a
+
+    np.asarray(fresh(1)[0])  # transport warm-up
 
     times = []
-    for a in arrs:
+    for a in fresh(frames):
         t0 = time.perf_counter()
         np.asarray(a)
         times.append(time.perf_counter() - t0)
@@ -235,11 +243,12 @@ def bench_transport(frames: int = 8) -> dict:
     # pattern (readback_streams); measures the multiplexed tunnel ceiling
     K = 6
     with ThreadPoolExecutor(max_workers=K) as pool:
-        list(pool.map(np.asarray, arrs[:K]))  # warm the pool
+        list(pool.map(np.asarray, fresh(K)))  # warm the pool
         ktimes = []
         for _ in range(3):
+            batch = fresh(K)
             t0 = time.perf_counter()
-            list(pool.map(np.asarray, arrs[:K]))
+            list(pool.map(np.asarray, batch))
             ktimes.append((time.perf_counter() - t0) / K)
     conc_best = mb / min(ktimes)
     conc_median = mb / float(np.median(ktimes))

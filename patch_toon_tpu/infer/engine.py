@@ -354,6 +354,19 @@ def _parse_crop_knob(value) -> bool:
         "auto/on/true/1/yes or off/false/0/no/none/disabled")
 
 
+def mask_support_bbox(mask: np.ndarray):
+    """(y0, y1, x0, x1) bounds of a mask's nonzero support; (0,0,0,0) for
+    an empty mask. The composite is out = rgb*(1-m) + styl*m, so every
+    pixel that can differ from the input lies inside this box. Shared by
+    the engine's prefetch path and bench.py's masked workload."""
+    rows = np.flatnonzero(mask.any(axis=1))
+    if not len(rows):
+        return (0, 0, 0, 0)
+    cols = np.flatnonzero(mask.any(axis=0))
+    return (int(rows[0]), int(rows[-1]) + 1,
+            int(cols[0]), int(cols[-1]) + 1)
+
+
 def compute_crop_bbox(mask_boxes, h: int, w: int,
                       align: int = 64, full_frac: float = 0.85):
     """Readback bbox for a group of frames: the union of their mask-support
@@ -712,12 +725,14 @@ class StyleTransferInference:
             now = _time.time()
             new = []
             for p in sorted(input_dir.glob("*.[pj][np][g]")):
+                if self.temporal_enabled:
+                    # register EVERY input frame in sorted order (not just
+                    # already-stylized ones) so the global flow index stays
+                    # consistent across service restarts even when a
+                    # given-up frame left a gap in the outputs — a retried
+                    # gap frame must keep its original stream position
+                    self._temporal_register(p.name)
                 if p.name in done or (output_dir / p.name).exists():
-                    if p.name not in done and self.temporal_enabled:
-                        # keep the global flow index consistent when the
-                        # service restarts over a partially stylized
-                        # directory (sorted order == stream order)
-                        self._temporal_register(p.name)
                     done.add(p.name)
                     continue
                 if nproc > 1 and not self.temporal_enabled \
@@ -837,21 +852,12 @@ class StyleTransferInference:
                                              with_rgb_u8=True)
             mask = self._load_eroded_mask(
                 str(mask_dir / input_path.name), frame.shape[:2])
-            # Mask-support bbox for crop_readback. The composite is
-            # out = rgb*(1-m) + styl*m, so EVERY pixel that can differ from
-            # the input lies inside the mask's nonzero extent — tile boxes
-            # can under-cover it (stride-sampled speckle masks, fullframe
-            # mode), so the bbox must come from the mask itself. Computed
-            # here so the row/col scans ride the prefetch threads.
-            mbox = None
-            if mask is not None:
-                rows = np.flatnonzero(mask.any(axis=1))
-                cols = np.flatnonzero(mask.any(axis=0))
-                if len(rows):
-                    mbox = (int(rows[0]), int(rows[-1]) + 1,
-                            int(cols[0]), int(cols[-1]) + 1)
-                else:
-                    mbox = (0, 0, 0, 0)  # empty mask: nothing stylized
+            # Mask-support bbox for crop_readback — tile boxes can
+            # under-cover the mask (stride-sampled speckle masks,
+            # fullframe mode), so the bbox must come from the mask
+            # itself. Computed here so the scans ride the prefetch
+            # threads; maskless frames stylize everywhere (None).
+            mbox = mask_support_bbox(mask) if mask is not None else None
             return frame, mask, rgb_u8, mbox
 
         in_flight: List[Tuple[Any, List[Box], Path]] = []
@@ -1255,13 +1261,24 @@ class StyleTransferInference:
                 u8, out_float, boxes = self._stylize_device(full, mask)
                 prev_float = out_float
                 band_futs = submit_fetch(u8)
-                drain_pending()  # previous frame's readback, now overlapped
+                try:
+                    # PREVIOUS frame's readback, overlapped with this
+                    # frame's compute. A deferred error here belongs to
+                    # that frame — this frame's output and the warp chain
+                    # are intact, so don't drop them or restart the chain
+                    drain_pending()
+                except Exception as e:
+                    self.logger.error(
+                        f"Readback failed for the previous frame: {e}")
                 pending = (band_futs, output_dir / input_path.name, boxes)
             except Exception as e:
                 self.logger.error(f"Failed to process {input_path.name}: {e}")
                 prev_float = None  # restart the temporal chain
                 continue
-        drain_pending()
+        try:
+            drain_pending()
+        except Exception as e:
+            self.logger.error(f"Readback failed for the last frame: {e}")
         self._temporal_prev = prev_float
         pool.shutdown(wait=False)
         fetch_pool.shutdown(wait=False)

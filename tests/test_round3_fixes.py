@@ -101,25 +101,27 @@ def test_permutation_cursor_resets_on_wrap(tmp_path):
         additional_channels={"point_vector": {
             "path": str(scene / "tracking"), "depth": 3}})
     count = int(np.asarray(ds.counts)[0])
-    assert count > 4
-    state = ds.init_perm_state(jax.random.PRNGKey(0))
+    assert count > 8
     batch_size = 4
-    rng = jax.random.PRNGKey(1)
-    wrapped_once = False
-    cursor_before = 0
-    for i in range(count // batch_size + 2):
-        rng, k = jax.random.split(rng)
-        new_state, _ = ds.sample_batch_permutation(state, k, batch_size)
-        cur = int(np.asarray(new_state["cursor"])[0])
-        if cursor_before + batch_size >= count:
-            # pool wrapped this draw: fresh permutation must start at 0
-            assert cur == 0
-            wrapped_once = True
-        else:
-            assert cur == cursor_before + batch_size
-        cursor_before = cur
-        state = new_state
-    assert wrapped_once
+    draw = jax.jit(
+        lambda st, r: ds.sample_batch_permutation(st, r, batch_size))
+    state = ds.init_perm_state(jax.random.PRNGKey(0))
+
+    # non-wrap draw advances the cursor by the batch size
+    state2, _ = draw(state, jax.random.PRNGKey(1))
+    assert int(np.asarray(state2["cursor"])[0]) == batch_size
+
+    # craft a near-exhausted cursor: the next draw wraps the pool, and the
+    # FRESH permutation must start at 0 (not at advanced % count, which
+    # would skip its first slots every cycle — ADVICE r2)
+    state2["cursor"] = jnp.full_like(state2["cursor"], count - 2)
+    state3, _ = draw(state2, jax.random.PRNGKey(2))
+    assert int(np.asarray(state3["cursor"])[0]) == 0
+    perm_before = np.asarray(state2["perm"])[0, :count]
+    perm_after = np.asarray(state3["perm"])[0, :count]
+    assert not np.array_equal(perm_before, perm_after)  # re-permuted
+    # the fresh permutation still covers every slot exactly once
+    assert sorted(perm_after.tolist()) == list(range(count))
 
 
 # ---------------------------------------------------------------------------
