@@ -48,6 +48,7 @@ from patch_toon_tpu.infer.tiling import (
     tile_boxes_from_mask,
 )
 from patch_toon_tpu.ops.masks import erode_full_support
+from patch_toon_tpu.utils.logging import configure_logging
 from patch_toon_tpu.train.checkpoints import sniff_input_channels
 from patch_toon_tpu.train.model import StyleTransferModel, _resolve_dtype
 
@@ -439,11 +440,10 @@ class StyleTransferInference:
         self.patch_size = int(cfg.data.patch_size)
         self.patch_positions: List[Box] = []
         self.logger = logging.getLogger("patch_toon_tpu.infer")
-        # force=True: absl/plugin imports often install root handlers first,
-        # which would silently swallow these INFO lines otherwise
-        logging.basicConfig(
-            level=logging.DEBUG if self.debug_mode else logging.INFO,
-            format="%(asctime)s - %(levelname)s - %(message)s", force=True)
+        # force-replaces root handlers: absl/plugin imports often install
+        # their own first, which would silently swallow these INFO lines
+        configure_logging(
+            logging.DEBUG if self.debug_mode else logging.INFO)
         self.logger.setLevel(
             logging.DEBUG if self.debug_mode else logging.INFO)
         self._load_data_config()
@@ -880,7 +880,13 @@ class StyleTransferInference:
 
         def drain_one():
             fut, group_boxes, save_paths, crop = in_flight.pop(0)
-            arr = fut.result()  # (F, H, W, 3) or cropped (F, bh, bw, 3)
+            try:
+                arr = fut.result()  # (F, H, W, 3) or cropped (F, bh, bw, 3)
+            except Exception as e:
+                # name every frame the failed fetch drops, not "a group"
+                names = ", ".join(p.name for p in save_paths)
+                raise RuntimeError(
+                    f"readback failed for [{names}]: {e}") from e
             for k, save_path in enumerate(save_paths):
                 if crop is not None:
                     (y0, y1, x0, x1), rgb_u8s = crop

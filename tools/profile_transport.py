@@ -117,6 +117,30 @@ def main() -> None:
             return time.perf_counter() - t0, mb * n * (h // k) * k / h
         return run
 
+    # ---- H2D (upload) direction. The engine uploads fp32 frames with
+    # C>=6 channels (engine._load_frame) — ~4.5x the bytes of the uint8
+    # D2H fetch. If uploads ride the same tunnel limits, the upload is
+    # the next wall after the concurrent drain; these methods bound it.
+    def m_h2d(dtype, ch, n=1, conc=False):
+        bytes_per = np.dtype(dtype).itemsize
+        size_mb = h * w * ch * bytes_per / 1e6 * n
+
+        def run():
+            if np.dtype(dtype) == np.uint8:
+                hosts = [rng.integers(0, 255, (h, w, ch), dtype=np.uint8)
+                         for _ in range(n)]
+            else:
+                hosts = [rng.random((h, w, ch), dtype=np.float32)
+                         for _ in range(n)]
+            t0 = time.perf_counter()
+            if conc:
+                devs = list(pool.map(jnp.asarray, hosts))
+            else:
+                devs = [jnp.asarray(x) for x in hosts]
+            jax.block_until_ready(devs)
+            return time.perf_counter() - t0, size_mb
+        return run
+
     methods = {
         "single": m_single,
         "async+fetch": m_async,
@@ -131,6 +155,11 @@ def main() -> None:
         "window8_threads": m_window(8),
         "window4_slice2": m_window_slice(4, 2),
         "window4_slice4": m_window_slice(4, 4),
+        "h2d_f32c6": m_h2d(np.float32, 6),
+        "h2d_u8c6": m_h2d(np.uint8, 6),
+        "h2d_u8c3": m_h2d(np.uint8, 3),
+        "h2d_f32c6_w4": m_h2d(np.float32, 6, n=4, conc=True),
+        "h2d_u8c6_w4": m_h2d(np.uint8, 6, n=4, conc=True),
     }
 
     # warm every path once (slice programs compile on first use)
