@@ -253,17 +253,34 @@ def bench_transport(frames: int = 8) -> dict:
     conc_best = mb / min(ktimes)
     conc_median = mb / float(np.median(ktimes))
 
+    # H2D (upload) direction: the engine's per-frame upload is uint8
+    # (inference.upload=auto) — c6 frame + mask = ~3.3 MB; the fp32 path
+    # it replaced was ~13.1 MB (tools/profile_transport.py h2d_* rows,
+    # tools/ab_upload.py). Timed with jnp.asarray + block (upload is
+    # synchronous through the tunnel).
+    up_mb = h * w * 6 / 1e6  # uint8 c6 frame
+    hosts = [rng.integers(0, 255, (h, w, 6), dtype=np.uint8)
+             for _ in range(4)]
+    jax.block_until_ready(jnp.asarray(hosts[0]))  # warm
+    utimes = []
+    for x in hosts:
+        t0 = time.perf_counter()
+        jax.block_until_ready(jnp.asarray(x))
+        utimes.append(time.perf_counter() - t0)
+    h2d_median = up_mb / float(np.median(utimes))
+
     print(f"[bench] transport: single-stream {single_median:.1f} MB/s "
           f"(best {single_best:.1f}), {K}-stream concurrent "
           f"{conc_median:.1f} MB/s (best {conc_best:.1f}); concurrent cap "
-          f"{conc_median / mb:.1f} fps @ {mb:.2f} MB/frame",
-          file=sys.stderr)
+          f"{conc_median / mb:.1f} fps @ {mb:.2f} MB/frame; "
+          f"h2d {h2d_median:.1f} MB/s", file=sys.stderr)
     return {
         "transport_MBps": round(single_median, 1),
         "transport_MBps_best": round(single_best, 1),
         "transport_concurrent6_MBps": round(conc_median, 1),
         "transport_concurrent6_MBps_best": round(conc_best, 1),
         "transport_cap_fps": round(conc_median / mb, 1),
+        "transport_h2d_MBps": round(h2d_median, 1),
     }
 
 

@@ -53,6 +53,31 @@ from patch_toon_tpu.train.checkpoints import sniff_input_channels
 from patch_toon_tpu.train.model import StyleTransferModel, _resolve_dtype
 
 
+def _to_signed_unit(frame):
+    """uint8 [0,255] -> fp32 [-1,1] via the exact reference normalization
+    arithmetic (reference dataset.py:191 ToTensor+Normalize: /255*2-1);
+    float frames pass through untouched.
+
+    Every inference program accepts either representation: uint8 upload
+    moves normalization on-device, cutting H2D bytes 4x — the upload is
+    the dominant wire cost through a constrained link (fp32 c6 frame =
+    ~11 MB vs the 1.4 MB uint8 readback; tools/profile_transport.py
+    h2d_* rows). The dtype is static at trace time, so the fp32 path
+    compiles to the identical program as before."""
+    if frame.dtype == jnp.uint8:
+        return frame.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+    return frame
+
+
+_norm_jit = jax.jit(_to_signed_unit)  # one fused dispatch for eager callers
+
+
+def _mask_f32(mask):
+    """Masks upload as uint8 {0,1} (4x fewer bytes) or fp32; compute is
+    always fp32."""
+    return mask if mask.dtype == jnp.float32 else mask.astype(jnp.float32)
+
+
 def _composite_u8(rgb, out, mask):
     """Masked composite + clip + uint8 tail shared by EVERY inference
     program (reference generator.py:562-563 + 643-652 semantics). Any
@@ -82,6 +107,7 @@ def make_fullframe_fn(generator, h: int, w: int, c: int, dtype,
     wp = (w + 3) // 4 * 4
 
     def fn(g_vars, frame, mask):
+        frame, mask = _to_signed_unit(frame), _mask_f32(mask)
         x = jnp.pad(frame, ((0, hp - h), (0, wp - w), (0, 0)))
         out = generator.apply(
             g_vars, x[None].astype(dtype), train=False
@@ -100,6 +126,7 @@ def make_batched_fullframe_fn(generator, h: int, w: int, c: int, dtype,
     wp = (w + 3) // 4 * 4
 
     def body(g_vars, frames, masks):
+        frames, masks = _to_signed_unit(frames), _mask_f32(masks)
         x = jnp.pad(frames, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         out = generator.apply(
             g_vars, x.astype(dtype), train=False
@@ -147,8 +174,9 @@ def _frame_body(generator, patch_size: int, bucket: int,
     ps = patch_size
 
     def frame_fn(g_vars, frame, boxes, weights, mask):
-        # frame (H,W,C) fp32 [-1,1]; boxes (B,4) i32; weights (B,ps,ps) f32;
-        # mask (H,W,1) f32 {0,1}
+        # frame (H,W,C) fp32 [-1,1] or uint8 [0,255]; boxes (B,4) i32;
+        # weights (B,ps,ps) f32; mask (H,W,1) f32/u8 {0,1}
+        frame, mask = _to_signed_unit(frame), _mask_f32(mask)
         repr_, mult = _gather_repr(frame, dtype)
         fpad = jnp.pad(repr_, ((ps, ps), (ps, ps), (0, 0)))
 
@@ -241,9 +269,11 @@ def _multiframe_body(generator, patch_size: int, bucket: int, n_frames: int,
     ps = patch_size
 
     def fn(g_vars, frames, fboxes, weights, masks):
-        # frames (F,H,W,C); fboxes (B,5) [f,y0,y1,x0,x1]; masks (F,H,W,1)
-        # Frames are flattened along H so the gather/scatter stay 3D —
-        # dynamic slices on a 4D canvas cost ~2x per scan iteration.
+        # frames (F,H,W,C) fp32 or uint8; fboxes (B,5) [f,y0,y1,x0,x1];
+        # masks (F,H,W,1). Frames are flattened along H so the
+        # gather/scatter stay 3D — dynamic slices on a 4D canvas cost
+        # ~2x per scan iteration.
+        frames, masks = _to_signed_unit(frames), _mask_f32(masks)
         hp2 = h + 2 * ps
         # fast-path gather representation (see _gather_repr: fp32 batched
         # slices are ~80x slower on v5e; bf16 casts, fp32 bitcasts to uint16)
@@ -430,6 +460,26 @@ class StyleTransferInference:
         # (tools/profile_transport.py, docs/perf/transport_r3.json).
         # 1 = serial drain.
         self.readback_streams = max(1, int(inf.get("readback_streams", 6)))
+        # inference.upload: u8 uploads frames/masks as uint8 and normalizes
+        # on-device (4x fewer H2D bytes — the upload dwarfs the uint8
+        # readback on constrained links; tools/profile_transport.py h2d_*).
+        # Identical normalization arithmetic, byte-identical outputs
+        # (tests/test_u8_upload.py). f32 keeps host-side normalization.
+        up = str(inf.get("upload", "auto")).lower()
+        if up == "auto":
+            # strict fp32 bit-parity mode keeps host-side normalization:
+            # TPU fp32 division is not guaranteed to round identically to
+            # the host's IEEE divide, and precision=32's contract is
+            # bit-parity with the torch oracle. bf16/32_fast absorb a
+            # potential 1-ulp difference anyway (e2e bound is ±1 count).
+            self.upload_u8 = self.precision not in (32, "32")
+        elif up in ("u8", "uint8"):
+            self.upload_u8 = True
+        elif up in ("f32", "float32", "fp32"):
+            self.upload_u8 = False
+        else:
+            raise ValueError(
+                f"inference.upload={up!r}: expected auto/u8/f32")
         from patch_toon_tpu.utils.xla_options import resolve_xla_options
 
         # per-compile XLA option tuning (docs/perf/xla_ab.json); "auto"
@@ -569,7 +619,8 @@ class StyleTransferInference:
                     self.model.generator, h, w, c, self.dtype,
                     compiler_options=self.xla_options)
             u8, out_float = self._frame_fns[key](
-                self.g_vars, jnp.asarray(frame), jnp.asarray(mask[..., None]))
+                self.g_vars, jnp.asarray(frame),
+                jnp.asarray(self._mask_up(mask)[..., None]))
             return u8, out_float, []
         if boxes is None:
             boxes = tile_boxes_from_mask(
@@ -581,7 +632,7 @@ class StyleTransferInference:
         fn = self._frame_fn(h, w, c, bucket)
         u8, out_float = fn(self.g_vars, jnp.asarray(frame),
                            jnp.asarray(packed_boxes), jnp.asarray(weights),
-                           jnp.asarray(mask[..., None]))
+                           jnp.asarray(self._mask_up(mask)[..., None]))
         return u8, out_float, boxes
 
     def process_large_image(
@@ -600,15 +651,28 @@ class StyleTransferInference:
         from patch_toon_tpu.data.io import _decode_rgb_uint8
 
         rgb_u8 = _decode_rgb_uint8(input_path)
-        parts = [rgb_u8.astype(np.float32) / 255.0 * 2.0 - 1.0]
+        # upload_u8: keep every channel in its decoded uint8 form — all
+        # guide channels are 8-bit sources with the same /255*2-1
+        # normalization (data/io.py load_image_channels), which the
+        # inference programs now apply on-device (_to_signed_unit)
+        parts = [rgb_u8 if self.upload_u8
+                 else rgb_u8.astype(np.float32) / 255.0 * 2.0 - 1.0]
         for name, ccfg in self.additional_channels.items():
             cpath = find_corresponding_image(ccfg["path"], input_path)
             if not os.path.exists(cpath):
                 raise FileNotFoundError(
                     f"Required channel {name} not found: {cpath}")
-            parts.append(load_image_channels(cpath, ccfg["depth"]))
+            if self.upload_u8:
+                parts.append(_decode_rgb_uint8(cpath)[..., :ccfg["depth"]])
+            else:
+                parts.append(load_image_channels(cpath, ccfg["depth"]))
         frame = np.concatenate(parts, axis=-1)
         return (frame, rgb_u8) if with_rgb_u8 else frame
+
+    def _mask_up(self, mask: np.ndarray) -> np.ndarray:
+        """Host-side mask representation for upload: uint8 {0,1} when
+        upload_u8 (lossless — masks are binarized), else fp32."""
+        return mask.astype(np.uint8) if self.upload_u8 else mask
 
     def _load_eroded_mask(self, mask_path: str, shape_hw) -> Optional[np.ndarray]:
         mask_dir = os.path.dirname(mask_path)
@@ -1080,7 +1144,8 @@ class StyleTransferInference:
                     self._g_vars_sharded,
                     jax.device_put(jnp.asarray(np.stack(frames)), sh),
                     jax.device_put(
-                        jnp.asarray(np.stack(masks))[..., None], sh))
+                        jnp.asarray(self._mask_up(
+                            np.stack(masks)))[..., None], sh))
             return u8[:n_real]
 
         fpd = getattr(self, "_pod_fpd", 1)
@@ -1102,7 +1167,7 @@ class StyleTransferInference:
                 self.model.generator, self.patch_size, bucket, fpd, h, w, c,
                 self.dtype, mesh, compiler_options=self.xla_options)
         fr = np.stack(frames).reshape(D, fpd, h, w, c)
-        mk = np.stack(masks).reshape(D, fpd, h, w)[..., None]
+        mk = self._mask_up(np.stack(masks)).reshape(D, fpd, h, w)[..., None]
         with mesh:
             u8, _ = self._frame_fns[key](
                 self._g_vars_sharded,
@@ -1130,7 +1195,7 @@ class StyleTransferInference:
         u8, _ = self._frame_fns[key](
             self.g_vars, jnp.asarray(np.stack(frames)),
             jnp.asarray(fboxes), jnp.asarray(weights),
-            jnp.asarray(np.stack(masks))[..., None])
+            jnp.asarray(self._mask_up(np.stack(masks)))[..., None])
         return u8
 
     def _temporal_register(self, name: str) -> int:
@@ -1251,8 +1316,13 @@ class StyleTransferInference:
                 flow_f = flow_futures.pop(i)
                 frame, mask, _, _ = frame_f.result()
                 flow = flow_f.result()
+                # uint8 upload: the frame crosses the wire as uint8 and is
+                # normalized here on-device; the guide channels (warped
+                # previous OUTPUT) only exist device-side in fp32, so the
+                # concat below needs the normalized representation
+                fdev = _norm_jit(jnp.asarray(frame))
                 if prev_float is None or flow_dir is None:
-                    guide = jnp.asarray(frame[:, :, :3])
+                    guide = fdev[:, :, :3]
                 elif flow is not None:
                     guide = warp_image(prev_float, jnp.asarray(flow))
                 else:
@@ -1263,7 +1333,7 @@ class StyleTransferInference:
                     guide = prev_float
                 guide = guide[..., : self.temporal_depth]
                 full = jnp.concatenate(
-                    [jnp.asarray(frame), guide.astype(jnp.float32)], axis=-1)
+                    [fdev, guide.astype(jnp.float32)], axis=-1)
                 u8, out_float, boxes = self._stylize_device(full, mask)
                 prev_float = out_float
                 band_futs = submit_fetch(u8)
