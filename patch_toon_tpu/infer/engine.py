@@ -922,6 +922,13 @@ class StyleTransferInference:
             # itself. Computed here so the scans ride the prefetch
             # threads; maskless frames stylize everywhere (None).
             mbox = mask_support_bbox(mask) if mask is not None else None
+            if self.devices == 1:
+                # upload from the prefetch thread: H2D overlaps the main
+                # loop's compute + readback instead of serializing in
+                # dispatch (the upload is the dominant wire cost on
+                # constrained links — tools/ab_upload.py). Pod runs keep
+                # host arrays: their upload targets a device_put sharding.
+                frame = jax.device_put(frame)
             return frame, mask, rgb_u8, mbox
 
         in_flight: List[Tuple[Any, List[Box], Path]] = []
@@ -1192,8 +1199,10 @@ class StyleTransferInference:
             self._frame_fns[key] = make_multiframe_fn(
                 self.model.generator, self.patch_size, bucket, f, h, w, c,
                 self.dtype, compiler_options=self.xla_options)
+        # jnp.stack, not np.stack: frames may be device-resident already
+        # (prefetch-thread upload) — np.stack would force a D2H round trip
         u8, _ = self._frame_fns[key](
-            self.g_vars, jnp.asarray(np.stack(frames)),
+            self.g_vars, jnp.stack(frames),
             jnp.asarray(fboxes), jnp.asarray(weights),
             jnp.asarray(self._mask_up(np.stack(masks)))[..., None])
         return u8
