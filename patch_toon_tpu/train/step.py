@@ -70,6 +70,15 @@ def make_train_step(
     rec_w = float(tc["reconstruction_weight"])
     adv_w = float(tc["adversarial_weight"])
     use_image_loss = bool(tc.get("use_image_loss", True))
+    # guide dropout (training.guide_dropout_p): with probability p per
+    # sample, the trailing guide_dropout_depth input channels are replaced
+    # by the first `depth` RGB bands — exactly the serving-time chain-start
+    # condition of the temporal mode (infer/engine.py: guide = frame RGB on
+    # the first frame / after a chain break), so a temporal-channel model
+    # learns to degrade gracefully when the warp chain (re)starts. No
+    # reference equivalent (the reference has no temporal channels).
+    gd_p = float(tc.get("guide_dropout_p", 0.0) or 0.0)
+    gd_depth = int(tc.get("guide_dropout_depth", 3) or 3)
     dt = model.dtype or jnp.float32
 
     G = model.generator
@@ -101,6 +110,15 @@ def make_train_step(
         if "channels" in batch:
             x = jnp.concatenate([x, batch["channels"]], axis=-1)
         x = x.astype(dt)
+        if gd_p > 0.0 and x.shape[-1] > gd_depth:
+            # per-sample guide dropout: trailing guide channels -> RGB
+            # bands (the chain-start input the serving engine feeds)
+            rng_gd = jax.random.fold_in(rng, 0x6D)
+            drop = jax.random.bernoulli(rng_gd, gd_p, (x.shape[0], 1, 1, 1))
+            x = jnp.concatenate([
+                x[..., :-gd_depth],
+                jnp.where(drop, x[..., :gd_depth], x[..., -gd_depth:]),
+            ], axis=-1)
         post = batch["post"]
 
         metrics: Metrics = {}

@@ -314,3 +314,65 @@ def test_full_gan_step_parity_vs_torch():
     np.testing.assert_allclose(
         np.asarray(new_state.g_batch_stats["smoother_bn"]["var"]),
         stats_after["smoother_bn"]["var"], atol=1e-3)
+
+
+def test_guide_dropout_substitutes_rgb_for_trailing_channels():
+    """training.guide_dropout_p=1.0 must be exactly equivalent to feeding the
+    serving engine's chain-start input: trailing guide channels replaced by
+    the frame RGB (infer/engine.py temporal path, guide = frame[..., :3])."""
+    def make(gd_p):
+        m = StyleTransferModel(
+            generator_config={"type": "GeneratorJ",
+                              "args": dict(GEN_ARGS, input_channels=6)},
+            discriminator_config=None,
+            training_config=dict(
+                batch_size=4, reconstruction_weight=4.0,
+                adversarial_weight=0.5, use_image_loss=True,
+                reconstruction_criterion="L1Loss",
+                adversarial_criterion="MSELoss",
+                use_gradient_clipping=True, gradient_clip_val=0.5,
+                precision=32, guide_dropout_p=gd_p, guide_dropout_depth=3,
+            ),
+            optimizer_config=dict(
+                generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5),
+                discriminator=dict(lr=4e-4, betas=[0.9, 0.999],
+                                   weight_decay=1e-5),
+            ),
+            data_config=dict(patch_size=32, additional_channels={
+                "temporal": {"path": "unused", "depth": 3}}),
+            perception_loss_config=None,
+        )
+        return m
+
+    rng = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    pre = jax.random.uniform(k1, (4, 32, 32, 3)) * 2 - 1
+    guides = jax.random.uniform(k2, (4, 32, 32, 3)) * 2 - 1
+    post = jnp.clip(pre * 0.5 + 0.2, -1, 1)
+
+    # p=1.0: every sample's guide channels are dropped to the frame RGB
+    m1 = make(1.0)
+    s1 = m1.init_state(jax.random.PRNGKey(0), patch_size=32)
+    step1 = make_train_step(m1, donate=False)
+    s1, _ = step1(s1, {"pre": pre, "post": post, "channels": guides}, k3)
+
+    # p=0.0 with the substitution done by hand must land on the same params
+    m0 = make(0.0)
+    s0 = m0.init_state(jax.random.PRNGKey(0), patch_size=32)
+    step0 = make_train_step(m0, donate=False)
+    s0, _ = step0(s0, {"pre": pre, "post": post, "channels": pre}, k3)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s1.g_params, s0.g_params)
+
+    # p=0.0 with real guides must differ (the knob actually gates)
+    m2 = make(0.0)
+    s2 = m2.init_state(jax.random.PRNGKey(0), patch_size=32)
+    step2 = make_train_step(m2, donate=False)
+    s2, _ = step2(s2, {"pre": pre, "post": post, "channels": guides}, k3)
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s1.g_params, s2.g_params))
+    assert max(diffs) > 0.0
