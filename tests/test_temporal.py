@@ -126,6 +126,34 @@ def test_temporal_end_to_end(temporal_scene, tmp_path):
     assert arr.shape == (48, 64, 3)
     assert arr.std() > 1.0
 
+    # Broken-chain serving (temporal WITHOUT flow_dir): the guide is the
+    # frame's own RGB on EVERY frame (engine temporal path, chain start
+    # condition) — must be byte-identical to serving with static guide
+    # channels read from the input dir itself.
+    def _styl(out_dir, extra):
+        c = compose(root / "config", "inference", overrides=[
+            f"paths.checkpoint={ckpt}",
+            f"paths.input_dir={base}/input",
+            f"paths.mask_dir={base}/mask",
+            f"paths.output_dir={out_dir}",
+            "data.patch_size=16",
+            "inference.use_gpu=false",
+            "inference.precision=32",
+            "model.generator.args.resnet_blocks=1",
+            "model.generator.args.filters=[4,8,8,8,8,4]",
+        ] + extra)
+        StyleTransferInference(c).process_directory()
+
+    _styl(tmp_path / "broken", ["paths.additional_channels={}",
+                                "+inference.temporal.enabled=true",
+                                "+inference.temporal.depth=3"])
+    _styl(tmp_path / "static_rgb", [
+        f"paths.additional_channels={{temporal: {{path: {base}/input, depth: 3}}}}"])
+    for name in sorted(p.name for p in (tmp_path / "broken").glob("*.png")):
+        a = np.asarray(Image.open(tmp_path / "broken" / name))
+        b = np.asarray(Image.open(tmp_path / "static_rgb" / name))
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
 
 def test_temporal_watch_chain_persists(temporal_scene, tmp_path):
     """Watch mode with the temporal guide: frames arriving across polls
