@@ -47,7 +47,7 @@ from patch_toon_tpu.infer.tiling import (
     pack_boxes,
     tile_boxes_from_mask,
 )
-from patch_toon_tpu.ops.masks import erode_full_support
+from patch_toon_tpu.ops.masks import erode_full_support_np
 from patch_toon_tpu.utils.logging import configure_logging
 from patch_toon_tpu.train.checkpoints import sniff_input_channels
 from patch_toon_tpu.train.model import StyleTransferModel, _resolve_dtype
@@ -687,7 +687,12 @@ class StyleTransferInference:
             raise ValueError(
                 f"Mask {resolved} is {mask.shape}, frame is "
                 f"{tuple(shape_hw)} — mask/frame resolutions must match")
-        return np.asarray(erode_full_support(jnp.asarray(mask)))
+        # host erosion: load_mask output is binary, for which the numpy
+        # windowed-sum erosion is bit-identical to the device conv — and
+        # skips a ~2 MB fp32 upload + ~2 MB readback per frame through
+        # slow transports (the eroded result is what actually ships, as
+        # uint8, inside the dispatch)
+        return erode_full_support_np(mask)
 
     def process_image(self, input_path: str, mask_path: str,
                       save_path: str) -> None:

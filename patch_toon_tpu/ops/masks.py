@@ -63,3 +63,45 @@ def erode_full_support(
     full = float(kernel_size * kernel_size)
     counts = jnp.where(counts < full, 0.0, counts)
     return counts / full
+
+
+def erode_full_support_np(
+    mask,
+    kernel_size: int = 7,
+    threshold: float = 0.4,
+):
+    """Host-side ``erode_full_support`` for BINARY masks (numpy, no device).
+
+    The inference engine's per-frame mask path used the device op, which
+    costs a ~2 MB fp32 upload + ~2 MB readback through slow transports
+    (axon tunnel: 25-42 MB/s) before the real uint8 mask upload even
+    happens. ``load_mask`` binarizes (>128 -> {0,1}), and for a {0,1} mask
+    the 7x7 zero-padded window sum is a small integer — exact in any
+    arithmetic order — so this host version is bit-identical to the XLA
+    conv (reference semantics: generator.py:327-351). Raises on non-binary
+    input; use the device op for fractional masks.
+    """
+    import numpy as np
+
+    m = np.asarray(mask, np.float32)
+    m = np.where(m < threshold, 0.0, m)
+    u = np.unique(m)
+    if not np.isin(u, (0.0, 1.0)).all():
+        raise ValueError(
+            "erode_full_support_np requires a binary {0,1} mask after "
+            f"thresholding (got values {u[:8]}); use erode_full_support")
+    k, pad = kernel_size, kernel_size // 2
+
+    def wsum(a, axis):
+        ap = np.pad(a, [(pad, pad) if i == axis else (0, 0)
+                        for i in range(a.ndim)])
+        out = np.zeros(a.shape, np.uint16)
+        n = a.shape[axis]
+        sl = [slice(None)] * a.ndim
+        for off in range(k):
+            sl[axis] = slice(off, off + n)
+            out += ap[tuple(sl)]
+        return out
+
+    counts = wsum(wsum(m.astype(np.uint16), 0), 1)
+    return (counts == k * k).astype(np.float32)

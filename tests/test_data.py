@@ -217,3 +217,21 @@ def test_save_debug_batch(platinum_dirs, tmp_path):
     ds.save_debug_batch(batch, str(tmp_path / "debug.png"))
     img = np.asarray(Image.open(tmp_path / "debug.png"))
     assert img.ndim == 3 and img.shape[0] > 32
+
+
+def test_erode_full_support_np_bit_identical():
+    """The host (numpy) erosion the inference engine uses per frame must be
+    bit-identical to the device conv for binary masks, and refuse
+    fractional ones."""
+    import pytest
+
+    from patch_toon_tpu.ops.masks import erode_full_support_np
+
+    rng = np.random.default_rng(3)
+    for shape in ((67, 93), (48, 64), (7, 7)):
+        m = (rng.random(shape) > 0.4).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(erode_full_support(jnp.asarray(m))),
+            erode_full_support_np(m))
+    with pytest.raises(ValueError):
+        erode_full_support_np(np.full((8, 8), 0.7, np.float32))
