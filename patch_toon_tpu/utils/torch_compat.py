@@ -136,3 +136,92 @@ def generator_input_channels_from_torch(sd: Mapping[str, Any],
     """Channel sniff, mirroring reference generator.py:118-119."""
     w = sd[f"{prefix}initial_conv.0.weight"]
     return int(np.asarray(w).shape[1])
+
+
+# ---- inverse direction: flax params -> reference torch state dict --------
+#
+# Completes the interop round trip: checkpoints trained on TPU by this build
+# export to the reference's lightning checkpoint layout
+# (``{"state_dict": {...}}``, key anatomy above, loaded by the reference at
+# generator.py:115-180 with ``strict=True``). All values are numpy; the CLI
+# (tools/export_checkpoint.py) wraps them in torch tensors.
+
+
+def _ik(k: np.ndarray) -> np.ndarray:
+    """Flax HWIO conv kernel -> torch OIHW weight."""
+    return np.ascontiguousarray(np.transpose(np.asarray(k), (3, 2, 0, 1)))
+
+
+def _conv_to(out: Dict[str, np.ndarray], name: str,
+             p: Mapping[str, Any]) -> None:
+    out[f"{name}.weight"] = _ik(p["kernel"])
+    if "bias" in p:
+        out[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def generator_params_to_torch(
+    params: Mapping[str, Any],
+    batch_stats: Mapping[str, Any],
+    resnet_blocks: int = 7,
+    norm_layer: str = "instance_norm",
+    append_smoothers: bool = True,
+    num_batches_tracked: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`generator_params_from_torch` (exact round trip).
+
+    ``num_batches_tracked`` seeds the BatchNorm counter torch tracks
+    (reference advances it twice per train step; it only affects behavior
+    under ``momentum=None``, which the reference never uses).
+    """
+    conv2_idx = 4 if norm_layer in ("instance_norm", "batch_norm") else 3
+    out: Dict[str, np.ndarray] = {}
+    _conv_to(out, "initial_conv.0", params["initial_conv"]["conv"])
+    _conv_to(out, "downsample1.0", params["downsample1"]["conv"])
+    _conv_to(out, "downsample2.0", params["downsample2"]["conv"])
+    for i in range(resnet_blocks):
+        _conv_to(out, f"resnet_blocks.{i}.block.1", params[f"resnet_{i}"]["conv1"])
+        _conv_to(out, f"resnet_blocks.{i}.block.{conv2_idx}",
+                 params[f"resnet_{i}"]["conv2"])
+    _conv_to(out, "upsample2.1", params["upsample2"]["conv"])
+    _conv_to(out, "upsample1.1", params["upsample1"]["conv"])
+    _conv_to(out, "conv11.0", params["conv11"])
+    if append_smoothers:
+        _conv_to(out, "smoothers.0", params["smoother_conv1"])
+        out["smoothers.2.weight"] = np.asarray(params["smoother_bn"]["scale"])
+        out["smoothers.2.bias"] = np.asarray(params["smoother_bn"]["bias"])
+        out["smoothers.2.running_mean"] = np.asarray(
+            batch_stats["smoother_bn"]["mean"])
+        out["smoothers.2.running_var"] = np.asarray(
+            batch_stats["smoother_bn"]["var"])
+        out["smoothers.2.num_batches_tracked"] = np.asarray(
+            num_batches_tracked, np.int64)
+        _conv_to(out, "smoothers.3", params["smoother_conv2"])
+    _conv_to(out, "output.0", params["output"])
+    return out
+
+
+def discriminator_params_to_torch(
+    params: Mapping[str, Any],
+    n_layers: int = 3,
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`discriminator_params_from_torch`."""
+    out: Dict[str, np.ndarray] = {}
+    _conv_to(out, "initial.0", params["initial"]["conv"])
+    for i in range(n_layers - 1):
+        _conv_to(out, f"intermediate.{i}.0", params[f"intermediate_{i}"]["conv"])
+    _conv_to(out, "pre_output.0", params["pre_output"]["conv"])
+    _conv_to(out, "output.0", params["output"])
+    return out
+
+
+def vgg_params_to_torch(
+    params: Mapping[str, Any],
+    prefix: str = "model.features.",
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`vgg_params_from_torch` (only the layers present)."""
+    out: Dict[str, np.ndarray] = {}
+    for name, p in params.items():
+        idx = int(name.split("_")[1])
+        out[f"{prefix}{idx}.weight"] = _ik(p["kernel"])
+        out[f"{prefix}{idx}.bias"] = np.asarray(p["bias"])
+    return out

@@ -95,3 +95,113 @@ def test_convert_vgg_state_dict_roundtrip(tmp_path):
         k0, np.transpose(sd["model.features.0.weight"].numpy(), (2, 3, 1, 0)))
     b5 = np.asarray(vgg["params"]["features_5"]["bias"])
     np.testing.assert_array_equal(b5, sd["model.features.5.bias"].numpy())
+
+
+def test_export_checkpoint_reference_strict_load(tmp_path):
+    """tools/export_checkpoint.py: an orbax checkpoint trained by this build
+    exports to a .ckpt the REFERENCE's torch modules load with strict=True
+    and reproduce forward-for-forward (the interop round trip's other
+    direction; reference load site generator.py:115-180)."""
+    if not REF_MODELS.exists():
+        pytest.skip("reference repo not available")
+    import importlib.util
+
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+    from patch_toon_tpu.train.model import StyleTransferModel
+
+    gen_args = dict(use_bias=True, tanh=True, append_smoothers=True,
+                    resnet_blocks=2, filters=[8, 16, 32, 32, 32, 16],
+                    norm_layer="instance_norm", input_size=256,
+                    input_channels=6)
+    disc_args = dict(num_filters=8, n_layers=2, use_noise=False,
+                     norm_layer="instance_norm", use_bias=True,
+                     input_channels=3)
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(gen_args)},
+        discriminator_config={"type": "DiscriminatorN_IN",
+                              "args": dict(disc_args)},
+        training_config=dict(
+            batch_size=4, reconstruction_weight=4.0, adversarial_weight=0.5,
+            use_image_loss=True, reconstruction_criterion="L1Loss",
+            adversarial_criterion="MSELoss", use_gradient_clipping=True,
+            gradient_clip_val=0.5, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5),
+            discriminator=dict(lr=4e-4, betas=[0.9, 0.999],
+                               weight_decay=1e-5)),
+        data_config=dict(patch_size=32, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(11), patch_size=32)
+    mgr = CheckpointManager(str(tmp_path / "ckpts"),
+                            meta={"generator_args": gen_args,
+                                  "discriminator_args": disc_args,
+                                  "input_channels": 6, "epoch": 4})
+    mgr.save(state, epoch=4, score=0.5)
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from export_checkpoint import export_checkpoint
+
+    out = tmp_path / "export.ckpt"
+    export_checkpoint(str(tmp_path / "ckpts" / "last"), str(out))
+    ck = torch.load(out, map_location="cpu")
+    assert ck["epoch"] == 4
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_gen2", REF_MODELS / "generator.py")
+    ref_gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_gen)
+    spec = importlib.util.spec_from_file_location(
+        "ref_disc2", REF_MODELS / "discriminator.py")
+    ref_disc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_disc)
+
+    tg = ref_gen.GeneratorJ(**gen_args).eval()
+    tg.load_state_dict(
+        {k[len("generator."):]: v for k, v in ck["state_dict"].items()
+         if k.startswith("generator.")}, strict=True)
+    td = ref_disc.DiscriminatorN_IN(**disc_args).eval()
+    td.load_state_dict(
+        {k[len("discriminator."):]: v for k, v in ck["state_dict"].items()
+         if k.startswith("discriminator.")}, strict=True)
+
+    # forward parity on the same input (fp32; conv precision HIGHEST)
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, (2, 32, 32, 6)).astype(np.float32)
+    ours = model.generator.apply(
+        {"params": state.g_params, "batch_stats": state.g_batch_stats},
+        jnp.asarray(x), train=False)
+    with torch.no_grad():
+        theirs = tg(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    np.testing.assert_allclose(
+        np.asarray(ours), np.transpose(theirs.numpy(), (0, 2, 3, 1)),
+        atol=2e-5)
+
+    xd = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    ours_d = model.discriminator.apply(
+        {"params": state.d_params}, jnp.asarray(xd), train=False)
+    with torch.no_grad():
+        theirs_d = td(torch.from_numpy(np.transpose(xd, (0, 3, 1, 2))))
+    if isinstance(theirs_d, (tuple, list)):
+        theirs_d = theirs_d[0]
+    np.testing.assert_allclose(
+        np.asarray(ours_d), np.transpose(theirs_d.numpy(), (0, 2, 3, 1)),
+        atol=2e-5)
+
+
+def test_export_full_reference_model_keys(tmp_path):
+    """--full-reference-model emits the complete perception_loss_model
+    subtree (torchvision vgg19 layout + mean/std buffers) so the
+    reference's strict=True full-model load finds every key, with this
+    build's deterministic training-time VGG features embedded."""
+    from export_checkpoint import VGG19_FEATURE_CONVS, _vgg_filler
+
+    sd = _vgg_filler(None)
+    conv_keys = {k for k in sd if k.startswith("model.features.")}
+    assert len(conv_keys) == 2 * len(VGG19_FEATURE_CONVS)
+    assert sd["model.classifier.6.weight"].shape == (1000, 4096)
+    assert sd["model.classifier.0.weight"].shape == (4096, 512 * 7 * 7)
+    assert sd["mean"].shape == (1, 3, 1, 1)
+    sd40 = _vgg_filler(40)
+    assert sd40["model.classifier.0.weight"].shape == (4096, 512 * 8 * 8)
+    assert sd40["model.classifier.6.weight"].shape == (40, 4096)
