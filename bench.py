@@ -256,18 +256,27 @@ def bench_transport(frames: int = 8) -> dict:
     # H2D (upload) direction: the engine's per-frame upload is uint8
     # (inference.upload=auto) — c6 frame + mask = ~3.3 MB; the fp32 path
     # it replaced was ~13.1 MB (tools/profile_transport.py h2d_* rows,
-    # tools/ab_upload.py). Timed with jnp.asarray + block (upload is
-    # synchronous through the tunnel).
+    # tools/ab_upload.py). block_until_ready can resolve EARLY through the
+    # axon tunnel (CLAUDE.md), so completion is forced the only provable
+    # way — a data round trip: one pixel fetched back from EVERY uploaded
+    # array (concurrent, so the fetch latency amortizes), and two window
+    # sizes differenced to cancel that fixed fetch/dispatch overhead.
     up_mb = h * w * 6 / 1e6  # uint8 c6 frame
-    hosts = [rng.integers(0, 255, (h, w, 6), dtype=np.uint8)
-             for _ in range(4)]
-    jax.block_until_ready(jnp.asarray(hosts[0]))  # warm
-    utimes = []
-    for x in hosts:
+
+    def upload_window(n: int) -> float:
+        hosts = [rng.integers(0, 255, (h, w, 6), dtype=np.uint8)
+                 for _ in range(n)]
         t0 = time.perf_counter()
-        jax.block_until_ready(jnp.asarray(x))
-        utimes.append(time.perf_counter() - t0)
-    h2d_median = up_mb / float(np.median(utimes))
+        arrs = [jnp.asarray(x) for x in hosts]
+        with ThreadPoolExecutor(max_workers=min(6, n)) as pool:
+            list(pool.map(lambda a: np.asarray(a[0, 0, 0]), arrs))
+        return time.perf_counter() - t0
+
+    upload_window(1)  # warm-up (allocator + fetch path)
+    n = 3
+    h2d_median = float(np.median(
+        [n * up_mb / max(upload_window(2 * n) - upload_window(n), 1e-9)
+         for _ in range(2)]))
 
     print(f"[bench] transport: single-stream {single_median:.1f} MB/s "
           f"(best {single_best:.1f}), {K}-stream concurrent "

@@ -671,8 +671,16 @@ class StyleTransferInference:
 
     def _mask_up(self, mask: np.ndarray) -> np.ndarray:
         """Host-side mask representation for upload: uint8 {0,1} when
-        upload_u8 (lossless — masks are binarized), else fp32."""
-        return mask.astype(np.uint8) if self.upload_u8 else mask
+        upload_u8 (lossless — the engine's own mask path binarizes), else
+        fp32. A FRACTIONAL mask (possible via the public
+        process_large_image API) must not be floored by the uint8 cast —
+        it stays fp32, preserving the partial composite."""
+        if not self.upload_u8:
+            return mask
+        u8 = mask.astype(np.uint8)
+        if (u8 == mask).all():
+            return u8
+        return mask
 
     def _load_eroded_mask(self, mask_path: str, shape_hw) -> Optional[np.ndarray]:
         mask_dir = os.path.dirname(mask_path)
@@ -794,14 +802,11 @@ class StyleTransferInference:
             now = _time.time()
             new = []
             for p in sorted(input_dir.glob("*.[pj][np][g]")):
-                if self.temporal_enabled:
-                    # register EVERY input frame in sorted order (not just
-                    # already-stylized ones) so the global flow index stays
-                    # consistent across service restarts even when a
-                    # given-up frame left a gap in the outputs — a retried
-                    # gap frame must keep its original stream position
-                    self._temporal_register(p.name)
                 if p.name in done or (output_dir / p.name).exists():
+                    if self.temporal_enabled:
+                        # already-stylized frames are stream members even
+                        # across a service restart (their outputs prove it)
+                        self._temporal_register(p.name)
                     done.add(p.name)
                     continue
                 if nproc > 1 and not self.temporal_enabled \
@@ -812,6 +817,15 @@ class StyleTransferInference:
                         continue  # possibly still being written
                 except OSError:
                     continue
+                if self.temporal_enabled:
+                    # a frame joins the temporal stream only once its mtime
+                    # settles: a transient half-write that gets deleted must
+                    # never occupy a stream position (it would shift every
+                    # later frame onto the wrong flow file). Registration is
+                    # NOT gated on aux_ready — a frame waiting for its mask
+                    # is a real stream member; and a given-up frame stays a
+                    # member so a later retry keeps its position.
+                    self._temporal_register(p.name)
                 if not aux_ready(p):
                     first = waiting_since.setdefault(p.name, now)
                     if p.name not in aux_warned \
@@ -936,7 +950,8 @@ class StyleTransferInference:
                 frame = jax.device_put(frame)
             return frame, mask, rgb_u8, mbox
 
-        in_flight: List[Tuple[Any, List[Box], Path]] = []
+        # (fetch Future, per-frame tile boxes, save paths, crop info)
+        in_flight: List[Tuple[Any, List[List[Box]], List[Path], Any]] = []
         writer = FrameWriter(num_threads=2)
 
         if self.temporal_enabled:
@@ -1212,25 +1227,33 @@ class StyleTransferInference:
             jnp.asarray(self._mask_up(np.stack(masks)))[..., None])
         return u8
 
-    def _temporal_register(self, name: str) -> int:
-        """Global stream position of a frame, persisted on the engine.
+    def _temporal_register(self, name: str) -> None:
+        """Mark a frame as a member of the temporal stream (idempotent)."""
+        if not hasattr(self, "_temporal_members"):
+            self._temporal_members: set = set()
+        self._temporal_members.add(name)
+
+    def _temporal_position(self, name: str) -> int:
+        """Global stream position of a frame: its rank in the sorted set of
+        known stream members.
 
         Flow files (``flow_bwd/{i}.npy``) are indexed by POSITION in the
         sorted frame stream (tools/optical_flow.py numbers by list index,
-        whatever the frames are named), so positions are assigned strictly
-        first-seen — NOT parsed from filenames, whose numbering may be
-        1-based (make_sample_scene) while positions are 0-based. The
-        mapping survives watch-service restarts over a partially stylized
-        directory because watch_directory pre-registers already-stylized
-        frames in sorted order before any new frame is processed (ADVICE
-        r2: a restart must not reset the counter and load the wrong
-        flow); a retry of a failed frame reuses its original position."""
-        if not hasattr(self, "_temporal_positions"):
-            self._temporal_positions: Dict[str, int] = {}
-        pos = self._temporal_positions
-        if name not in pos:
-            pos[name] = max(pos.values(), default=-1) + 1
-        return pos[name]
+        whatever the frames are named) — NOT parsed from filenames, whose
+        numbering may be 1-based (make_sample_scene) while positions are
+        0-based. Rank-in-sorted-members (rather than a first-seen counter)
+        makes the index (a) survive watch-service restarts over a partially
+        stylized directory — watch_directory registers already-stylized
+        frames from their outputs — (b) keep a given-up frame's slot for
+        its retry, and (c) stay immune to TRANSIENT files: watch mode only
+        registers a frame after its mtime settles, so a half-written file
+        that is deleted again never occupies a position and can't shift
+        every later frame onto the wrong flow (review r3). A member whose
+        name sorts before an already-processed frame arriving late shifts
+        only FUTURE positions — toward the true final-list index."""
+        StyleTransferInference._temporal_register(self, name)
+        members = sorted(self._temporal_members)
+        return members.index(name)
 
     def _process_directory_temporal(self, files, load_one, output_dir,
                                     writer, progress: bool = True) -> None:
@@ -1265,7 +1288,7 @@ class StyleTransferInference:
         # NAME so a watch-mode retry of a failed frame reuses its original
         # stream position instead of drifting every later frame's flow.
         def gi_of(path: Path) -> int:
-            return self._temporal_register(path.name)
+            return self._temporal_position(path.name)
 
         def load_flow(i: int):
             if flow_dir is None:

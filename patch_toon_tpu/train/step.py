@@ -83,6 +83,11 @@ def make_train_step(
 
     G = model.generator
     D = model.discriminator
+    # without a discriminator there is no D phase, so the reference runs
+    # exactly ONE generator forward per step (lightning_model.py:262) —
+    # two_forward would add a wasted forward and a second BN-stats advance
+    if D is None:
+        two_forward = False
     P = model.perception
     pw = model.perception_weight
     tx_g, tx_d = model.tx_g, model.tx_d

@@ -64,23 +64,36 @@ def test_compute_crop_bbox():
 # temporal stream positions
 # ---------------------------------------------------------------------------
 
-def test_temporal_register_first_seen_positions():
+def test_temporal_stream_positions_rank_based():
     from patch_toon_tpu.infer.engine import StyleTransferInference
 
     eng = SimpleNamespace(temporal_format="%03d")
     reg = StyleTransferInference._temporal_register
-    # positions are strictly first-seen (flow files index by stream
-    # POSITION, not filename number — make_sample_scene names are 1-based)
-    assert reg(eng, "001.png") == 0
-    assert reg(eng, "002.png") == 1
-    assert reg(eng, "001.png") == 0  # idempotent: retries keep position
-    assert reg(eng, "zz.png") == 2
-    # watch-restart scenario: already-stylized frames pre-registered in
-    # sorted order seed the counter, so a late frame continues correctly
+    pos = StyleTransferInference._temporal_position
+    # positions are the rank in the sorted member set (flow files index by
+    # stream POSITION, not filename number — make_sample_scene names are
+    # 1-based)
+    assert pos(eng, "001.png") == 0
+    assert pos(eng, "002.png") == 1
+    assert pos(eng, "001.png") == 0  # idempotent: retries keep position
+    assert pos(eng, "zz.png") == 2
+    # watch-restart scenario: already-stylized frames registered from their
+    # outputs seed the member set, so a late frame continues correctly
     eng2 = SimpleNamespace(temporal_format="%03d")
     for n in ("001.png", "002.png", "003.png"):  # outputs already on disk
         reg(eng2, n)
-    assert reg(eng2, "004.png") == 3  # NOT 0 (the pre-fix bug)
+    assert pos(eng2, "004.png") == 3  # NOT 0 (the pre-fix bug)
+    # transient-file scenario (review r3): a half-written file that watch
+    # mode never settles is never registered, so it cannot shift later
+    # frames onto the wrong flow — only settled members get positions
+    eng3 = SimpleNamespace(temporal_format="%03d")
+    reg(eng3, "001.png")
+    # "001a.tmp.png" appears in a glob but never settles: NOT registered
+    assert pos(eng3, "002.png") == 1
+    # an early member discovered late shifts only future positions, toward
+    # the true final-list index
+    reg(eng3, "000.png")
+    assert pos(eng3, "003.png") == 3
 
 
 # ---------------------------------------------------------------------------
