@@ -25,6 +25,7 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from pathlib import Path
@@ -69,7 +70,72 @@ def _to_signed_unit(frame):
     return frame
 
 
-_norm_jit = jax.jit(_to_signed_unit)  # one fused dispatch for eager callers
+@functools.partial(jax.jit, static_argnames=("depth",))
+def _temporal_prep(frame, prev, flow, depth: int):
+    """Fused temporal-frame prologue: ONE device dispatch builds the
+    (H, W, 3+depth) generator input from the uploaded frame, the
+    device-resident previous stylized output, and the flow field.
+
+    Run eagerly this was normalize + ``warp_image`` (whose
+    ``map_coordinates`` lowers to dozens of separate eager ops) + slice +
+    cast + concat — every op a round-trip of dispatch latency on a remote
+    transport, riding the temporal chain's SEQUENTIAL critical path (frame
+    i+1 cannot start until this completes for frame i). ``prev``/``flow``
+    may be None (chain start / missing flow); None is static pytree
+    structure, so each of the three variants traces once into its own
+    fully fused program. ``flow`` may arrive as float16 (see
+    ``inference.temporal.flow_upload``) — warp coordinates are always
+    computed in fp32.
+    """
+    from patch_toon_tpu.ops.flow import warp_image
+
+    fdev = _to_signed_unit(frame)
+    if prev is None:
+        guide = fdev[..., :3]          # chain bootstrap: own RGB
+    elif flow is None:
+        guide = prev                   # missing flow: hold previous output
+    else:
+        guide = warp_image(prev, flow.astype(jnp.float32))
+    return jnp.concatenate(
+        [fdev, guide[..., :depth].astype(jnp.float32)], axis=-1)
+
+
+@jax.jit
+def _temporal_device_flow(frame, prev_gray, fmask):
+    """One dispatch: PIL-exact grayscale of this frame + pyramidal-LK
+    backward flow against the previous frame's (device-resident) grayscale.
+
+    This is the same computation ``tools/optical_flow.py`` backend="tpu"
+    writes to ``flow_bwd/{i}.npy`` — ``masked_flow(gray_i/255,
+    gray_{i-1}/255, mask_i > 127)`` on bit-exact PIL luma (ops.flow.
+    pil_gray) — so ``flow_source=device`` serves the identical chain with
+    NO flow upload and no preprocessing pass. ``fmask`` None (maskless
+    frame / mask dir ignored) skips the out-of-mask zeroing, like the
+    tool would with an all-true mask.
+
+    Returns (flow, gray): ``gray`` (uint8, H*W bytes) stays on device as
+    the next frame's comparison target.
+    """
+    from patch_toon_tpu.ops.flow import masked_flow, pil_gray
+
+    gray = pil_gray(frame[..., :3])
+    g1 = gray.astype(jnp.float32) / 255.0
+    g0 = prev_gray.astype(jnp.float32) / 255.0
+    if fmask is None:
+        from patch_toon_tpu.ops.flow import dense_flow
+
+        flow = dense_flow(g1, g0)
+    else:
+        flow = masked_flow(g1, g0, fmask)
+    return flow, gray
+
+
+@jax.jit
+def _device_gray(frame):
+    """Grayscale-only dispatch for the chain's first frame (no flow yet)."""
+    from patch_toon_tpu.ops.flow import pil_gray
+
+    return pil_gray(frame[..., :3])
 
 
 def _mask_f32(mask):
@@ -439,6 +505,21 @@ class StyleTransferInference:
         self.temporal_flow_dir = tcfg.get("flow_dir")
         self.temporal_depth = int(tcfg.get("depth", 3))
         self.temporal_format = str(tcfg.get("file_format", "%03d"))
+        # flow_source=device: derive the backward flow ON DEVICE from the
+        # already-uploaded frames (ops.flow pyramidal LK over bit-exact
+        # PIL-luma grayscale — the same computation tools/optical_flow.py
+        # backend="tpu" writes to .npy), eliminating both the flow upload
+        # (the largest temporal-mode H2D transfer) and the offline
+        # preprocessing pass. "files" reads flow_dir .npy (default).
+        self.temporal_flow_source = str(
+            tcfg.get("flow_source", "files")).lower()
+        if self.temporal_flow_source not in ("files", "device"):
+            raise ValueError(
+                f"inference.temporal.flow_source="
+                f"{self.temporal_flow_source!r}: expected files/device")
+        # resolved below once self.upload_u8 is known ("auto" follows it)
+        self._temporal_flow_upload = str(
+            tcfg.get("flow_upload", "auto")).lower()
         # single source for the inference precision: self.dtype (tile/frame
         # compute) and the model's conv-precision policy (_setup_model) must
         # read the SAME value or an fp32-trained checkpoint would pay
@@ -480,6 +561,23 @@ class StyleTransferInference:
         else:
             raise ValueError(
                 f"inference.upload={up!r}: expected auto/u8/f32")
+        # inference.temporal.flow_upload: the flow .npy is the LARGEST
+        # per-frame H2D transfer in temporal mode (H*W*2 fp32 ≈ 4.1 MB at
+        # 540x960 — more than the uint8 frame itself). f16 halves it; the
+        # ~2^-10 relative coordinate quantization is far below the LK flow
+        # estimator's own error, and warp math stays fp32 on device.
+        # "auto" follows the upload gate: f16 whenever frames go uint8,
+        # f32 under the strict precision=32 bit-parity contract.
+        if self._temporal_flow_upload == "auto":
+            self.temporal_flow_f16 = self.upload_u8
+        elif self._temporal_flow_upload in ("f16", "float16", "half"):
+            self.temporal_flow_f16 = True
+        elif self._temporal_flow_upload in ("f32", "float32", "fp32"):
+            self.temporal_flow_f16 = False
+        else:
+            raise ValueError(
+                f"inference.temporal.flow_upload="
+                f"{self._temporal_flow_upload!r}: expected auto/f16/f32")
         from patch_toon_tpu.utils.xla_options import resolve_xla_options
 
         # per-compile XLA option tuning (docs/perf/xla_ab.json); "auto"
@@ -956,7 +1054,8 @@ class StyleTransferInference:
 
         if self.temporal_enabled:
             self._process_directory_temporal(files, load_one, output_dir,
-                                             writer, progress=progress)
+                                             writer, mask_dir=mask_dir,
+                                             progress=progress)
             failed = writer.flush()
             writer.close()
             if failed:
@@ -1256,31 +1355,36 @@ class StyleTransferInference:
         return members.index(name)
 
     def _process_directory_temporal(self, files, load_one, output_dir,
-                                    writer, progress: bool = True) -> None:
+                                    writer, mask_dir=None,
+                                    progress: bool = True) -> None:
         """Temporal-guide stylization: each frame's input gains channels
         holding the flow-warped previous *stylized* frame.
 
-        guide_i = warp(stylized_{i-1}, flow_bwd[i]) where flow_bwd/{i}.npy
-        is the i -> i-1 correspondence written by tools/optical_flow.py
-        (backward direction). Frame 0 bootstraps with its own RGB. The
-        previous output stays on device in [-1, 1]; only the uint8 frame is
-        fetched. The chain is inherently sequential (frame i depends on
-        i-1), so device dispatches can't pipeline — but everything around
-        them can: frame i+1's decode and flow .npy load run in a worker
-        thread while the device stylizes frame i, and frame i's uint8
-        readback (the tunnel's 8-90 ms/frame) overlaps frame i+1's compute,
-        since only the DEVICE-resident float output feeds the chain. Requires
-        a checkpoint trained with the matching temporal channels (see
-        tools/temporal_guide.py).
+        guide_i = warp(stylized_{i-1}, flow_bwd[i]) where flow_bwd[i] is the
+        i -> i-1 correspondence — read from flow_dir/{i}.npy (written by
+        tools/optical_flow.py) with flow_source=files, or computed ON
+        DEVICE (_temporal_device_flow: the same pyramidal-LK over PIL-exact
+        grayscale the tool's backend="tpu" runs, against the previous
+        frame's device-resident gray) with flow_source=device — no flow
+        upload, no preprocessing pass. Frame 0 bootstraps with its own RGB.
+        The previous output stays on device in [-1, 1]; only the uint8
+        frame is fetched. The chain is inherently sequential (frame i
+        depends on i-1), so device dispatches can't pipeline — but
+        everything around them can: frame i+1's decode and flow .npy /
+        flow-mask load run in a worker thread while the device stylizes
+        frame i, and frame i's uint8 readback (the tunnel's 8-90 ms/frame)
+        overlaps frame i+1's compute, since only the DEVICE-resident float
+        output feeds the chain. Requires a checkpoint trained with the
+        matching temporal channels (see tools/temporal_guide.py).
         """
         from concurrent.futures import ThreadPoolExecutor
 
+        from PIL import Image
         from tqdm import tqdm
-
-        from patch_toon_tpu.ops.flow import warp_image
 
         flow_dir = Path(self.temporal_flow_dir) if self.temporal_flow_dir \
             else None
+        device_flow = self.temporal_flow_source == "device"
 
         # Chain state lives on the engine so watch mode continues the warp
         # chain (and the global flow index) across polls; a fresh engine —
@@ -1296,13 +1400,36 @@ class StyleTransferInference:
             flow_path = flow_dir / (f"{self.temporal_format % i}.npy")
             if not flow_path.exists():
                 return None
-            return np.load(str(flow_path))
+            flow = np.load(str(flow_path))
+            if self.temporal_flow_f16 and flow.dtype != np.float16:
+                flow = flow.astype(np.float16)  # halve the dominant H2D
+            return flow
+
+        def load_flow_mask(p: Path):
+            """Raw flow mask with the TOOL's semantics (optical_flow.py
+            _read_mask: PIL 'L', > 127 — distinct from the composite
+            mask's > 128 dataset parity). Missing mask -> None (unmasked
+            flow, like an all-true mask)."""
+            if mask_dir is None:
+                return None
+            resolved = find_corresponding_image(str(mask_dir), p.name)
+            if not os.path.exists(resolved):
+                return None
+            arr = np.asarray(Image.open(resolved).convert("L"))
+            return (arr > 127).astype(np.uint8)
+
+        def load_aux(p: Path):
+            # per-frame sidecar riding the prefetch thread: the flow .npy
+            # (files) or the raw flow mask (device)
+            return load_flow_mask(p) if device_flow \
+                else load_flow(gi_of(p))
 
         prev_float = getattr(self, "_temporal_prev", None)
+        prev_gray = getattr(self, "_temporal_prev_gray", None)
         pending = None  # (band futures, save_path, boxes) being read back
         pool = ThreadPoolExecutor(max_workers=1)
         futures = {0: pool.submit(load_one, files[0])} if files else {}
-        flow_futures = {0: pool.submit(load_flow, gi_of(files[0]))} \
+        flow_futures = {0: pool.submit(load_aux, files[0])} \
             if files else {}
         # The chain is one frame at a time, so the group-level concurrent
         # drain can't apply — instead each frame's readback is split into
@@ -1329,14 +1456,22 @@ class StyleTransferInference:
             nonlocal pending
             if pending is None:
                 return
-            band_futs, save_path, boxes = pending
+            band_futs, save_path, boxes, crop = pending
             pending = None
             parts = [f.result() for f in band_futs]
             arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
-            writer.submit(str(save_path), arr)
+            if crop is not None:
+                # crop_readback: only the mask-support bbox was fetched;
+                # outside it the composite equals the input bytes exactly
+                (y0, y1, x0, x1), rgb_u8 = crop
+                img = rgb_u8.copy()
+                img[y0:y1, x0:x1] = arr
+            else:
+                img = arr
+            writer.submit(str(save_path), img)
             if self.debug_mode:
                 self.patch_positions = boxes
-                self._save_debug_overlay(arr, str(save_path))
+                self._save_debug_overlay(img, str(save_path))
 
         for i, input_path in enumerate(tqdm(files, desc="Temporal frames",
                                             disable=not progress)):
@@ -1344,35 +1479,57 @@ class StyleTransferInference:
             #                         indexed by it, not the batch index)
             if i + 1 < len(files):
                 futures[i + 1] = pool.submit(load_one, files[i + 1])
-                flow_futures[i + 1] = pool.submit(load_flow,
-                                                  gi_of(files[i + 1]))
+                flow_futures[i + 1] = pool.submit(load_aux, files[i + 1])
             try:
                 # pop BOTH futures before any .result() so a failed decode
                 # can't leak the (multi-MB) flow entry in flow_futures
                 frame_f = futures.pop(i)
                 flow_f = flow_futures.pop(i)
-                frame, mask, _, _ = frame_f.result()
-                flow = flow_f.result()
-                # uint8 upload: the frame crosses the wire as uint8 and is
-                # normalized here on-device; the guide channels (warped
-                # previous OUTPUT) only exist device-side in fp32, so the
-                # concat below needs the normalized representation
-                fdev = _norm_jit(jnp.asarray(frame))
-                if prev_float is None or flow_dir is None:
-                    guide = fdev[:, :, :3]
-                elif flow is not None:
-                    guide = warp_image(prev_float, jnp.asarray(flow))
+                frame, mask, rgb_u8, mbox = frame_f.result()
+                aux = flow_f.result()  # flow .npy | raw flow mask | None
+                # one fused dispatch builds the generator input: on-device
+                # normalization of the (possibly uint8) frame + warp of the
+                # device-resident previous output + guide concat
+                # (_temporal_prep; the chain is sequential, so every saved
+                # eager round-trip comes straight off the critical path)
+                fdev = jnp.asarray(frame)  # upload once, reuse below
+                if device_flow:
+                    if prev_float is not None and prev_gray is not None:
+                        fmask = None if aux is None else jnp.asarray(aux)
+                        flow_in, gray = _temporal_device_flow(
+                            fdev, prev_gray, fmask)
+                        prev_in = prev_float
+                    else:
+                        gray = _device_gray(fdev)
+                        prev_in, flow_in = None, None  # bootstrap
+                elif prev_float is None or flow_dir is None:
+                    prev_in, flow_in = None, None  # bootstrap: own RGB
+                elif aux is not None:
+                    prev_in, flow_in = prev_float, jnp.asarray(aux)
                 else:
                     self.logger.warning(
                         f"No flow for frame {gi} "
                         f"({flow_dir / (self.temporal_format % gi)}.npy); "
                         f"using unwarped previous output")
-                    guide = prev_float
-                guide = guide[..., : self.temporal_depth]
-                full = jnp.concatenate(
-                    [fdev, guide.astype(jnp.float32)], axis=-1)
+                    prev_in, flow_in = prev_float, None
+                full = _temporal_prep(fdev, prev_in, flow_in,
+                                      self.temporal_depth)
                 u8, out_float, boxes = self._stylize_device(full, mask)
                 prev_float = out_float
+                if device_flow:
+                    prev_gray = gray
+                # crop the D2H fetch to the mask-support bbox (the chain
+                # state prev_float stays FULL-frame on device, so the warp
+                # chain is untouched; only the host readback shrinks)
+                crop = None
+                if self.crop_readback:
+                    bbox = compute_crop_bbox(
+                        [mbox], *np.shape(frame)[:2])
+                    self._last_crop = bbox
+                    if bbox is not None:
+                        y0, y1, x0, x1 = bbox
+                        u8 = u8[y0:y1, x0:x1]
+                        crop = (bbox, rgb_u8)
                 band_futs = submit_fetch(u8)
                 try:
                     # PREVIOUS frame's readback, overlapped with this
@@ -1383,15 +1540,18 @@ class StyleTransferInference:
                 except Exception as e:
                     self.logger.error(
                         f"Readback failed for the previous frame: {e}")
-                pending = (band_futs, output_dir / input_path.name, boxes)
+                pending = (band_futs, output_dir / input_path.name, boxes,
+                           crop)
             except Exception as e:
                 self.logger.error(f"Failed to process {input_path.name}: {e}")
                 prev_float = None  # restart the temporal chain
+                prev_gray = None
                 continue
         try:
             drain_pending()
         except Exception as e:
             self.logger.error(f"Readback failed for the last frame: {e}")
         self._temporal_prev = prev_float
+        self._temporal_prev_gray = prev_gray
         pool.shutdown(wait=False)
         fetch_pool.shutdown(wait=False)

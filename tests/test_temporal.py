@@ -26,6 +26,80 @@ def test_warp_image_translation():
     np.testing.assert_allclose(got[:, :-3], img[:, 3:], atol=1e-6)
 
 
+def test_temporal_prep_fused_matches_eager():
+    """The single-dispatch _temporal_prep must equal the op-by-op
+    composition it fused (normalize + warp + slice + concat) for all
+    three static variants (warp / bootstrap / hold), exactly."""
+    from patch_toon_tpu.infer.engine import _temporal_prep, _to_signed_unit
+    from patch_toon_tpu.ops.flow import warp_image
+
+    rng = np.random.default_rng(7)
+    frame_u8 = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    prev = jnp.asarray(rng.random((24, 32, 3)).astype(np.float32) * 2 - 1)
+    flow = jnp.asarray((rng.random((24, 32, 2)).astype(np.float32) - 0.5) * 6)
+
+    fdev = _to_signed_unit(jnp.asarray(frame_u8))
+    # warp variant: XLA's fusion inside the single program contracts the
+    # interpolation arithmetic (FMA) — 1-ulp tolerance vs the eager ops
+    got = _temporal_prep(jnp.asarray(frame_u8), prev, flow, 3)
+    want = jnp.concatenate([fdev, warp_image(prev, flow)], axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-7)
+    # bootstrap (chain start): guide = own RGB (the in-jit normalization
+    # also contracts to FMA — same 1-ulp bound, and a value k/255*2-1
+    # re-quantizes to exactly k so uint8 outputs can never flip)
+    got0 = _temporal_prep(jnp.asarray(frame_u8), None, None, 3)
+    np.testing.assert_allclose(
+        np.asarray(got0), np.asarray(jnp.concatenate([fdev, fdev], axis=-1)),
+        atol=2e-7)
+    # hold (missing flow): guide = previous output unwarped, bit-exact
+    goth = _temporal_prep(jnp.asarray(frame_u8), prev, None, 3)
+    np.testing.assert_array_equal(
+        np.asarray(goth)[..., 3:], np.asarray(prev))
+    np.testing.assert_allclose(
+        np.asarray(goth)[..., :3], np.asarray(fdev), atol=2e-7)
+    # fp32 frames (strict-precision path) pass through unnormalized
+    f32 = np.asarray(fdev)
+    np.testing.assert_allclose(
+        np.asarray(_temporal_prep(jnp.asarray(f32), prev, flow, 3)),
+        np.asarray(want), atol=2e-7)
+
+
+def test_temporal_prep_f16_flow_close():
+    """float16 flow upload: warp coordinates quantize at ~2^-10 relative —
+    the prep output must stay within a tight tolerance of the fp32-flow
+    result (warp math itself is fp32 on device)."""
+    from patch_toon_tpu.infer.engine import _temporal_prep
+
+    rng = np.random.default_rng(11)
+    frame = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    prev = jnp.asarray(rng.random((24, 32, 3)).astype(np.float32) * 2 - 1)
+    flow32 = (rng.random((24, 32, 2)).astype(np.float32) - 0.5) * 8
+    a = np.asarray(_temporal_prep(jnp.asarray(frame), prev,
+                                  jnp.asarray(flow32), 3))
+    b = np.asarray(_temporal_prep(jnp.asarray(frame), prev,
+                                  jnp.asarray(flow32.astype(np.float16)), 3))
+    # guide channels: bounded by max-gradient(2 per px) * coord quantization
+    assert np.abs(a - b).max() < 0.05
+    assert np.abs(a - b).mean() < 1e-3
+    np.testing.assert_array_equal(a[..., :3], b[..., :3])  # RGB untouched
+
+
+def test_temporal_flow_upload_knob_validation():
+    """Unknown flow_upload values must raise, consistent with the other
+    strict inference knobs (upload, crop_readback)."""
+    import pathlib
+
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    cfg = compose(root / "config", "inference", overrides=[
+        "+inference.temporal.flow_upload=fast",
+    ])
+    with pytest.raises(ValueError, match="flow_upload"):
+        StyleTransferInference(cfg)
+
+
 @pytest.fixture()
 def temporal_scene(tmp_path):
     """5-frame scene with flows, stylized outputs, masks."""
@@ -153,6 +227,182 @@ def test_temporal_end_to_end(temporal_scene, tmp_path):
         a = np.asarray(Image.open(tmp_path / "broken" / name))
         b = np.asarray(Image.open(tmp_path / "static_rgb" / name))
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_pil_gray_bit_exact():
+    """ops.flow.pil_gray must reproduce PIL convert('L') bytes exactly —
+    uint8 input AND the engine's normalized-f32 representation."""
+    from patch_toon_tpu.ops.flow import pil_gray
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (41, 67, 3), dtype=np.uint8)
+    want = np.asarray(Image.fromarray(img).convert("L"))
+    np.testing.assert_array_equal(np.asarray(pil_gray(jnp.asarray(img))),
+                                  want)
+    f32 = img.astype(np.float32) / 255.0 * 2.0 - 1.0
+    np.testing.assert_array_equal(np.asarray(pil_gray(jnp.asarray(f32))),
+                                  want)
+
+
+def test_device_flow_matches_tool_npy(temporal_scene):
+    """_temporal_device_flow must reproduce the flow the tpu-backend tool
+    writes to flow_bwd/*.npy from the same frames (to float roundoff —
+    the tool's call is eager, the engine's is fused into one program)."""
+    from patch_toon_tpu.infer.engine import _temporal_device_flow
+
+    base = temporal_scene
+    i = 2
+    f_cur = np.asarray(Image.open(base / "input" / f"{i:03d}.png"))
+    f_prev = np.asarray(Image.open(base / "input" / f"{i - 1:03d}.png"))
+    gray_prev = np.asarray(Image.fromarray(f_prev).convert("L"))
+    mask = (np.asarray(
+        Image.open(base / "mask" / f"{i:03d}.jpg").convert("L"))
+        > 127).astype(np.uint8)
+    flow, gray = _temporal_device_flow(
+        jnp.asarray(f_cur), jnp.asarray(gray_prev), jnp.asarray(mask))
+    want = np.load(base / "flow_bwd" / f"{i:03d}.npy")
+    np.testing.assert_allclose(np.asarray(flow), want, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(gray),
+        np.asarray(Image.fromarray(f_cur).convert("L")))
+
+
+def test_temporal_device_flow_e2e(temporal_scene, tmp_path):
+    """flow_source=device serves the same chain as flow_source=files when
+    the .npy files came from the tpu backend — outputs within the float-
+    roundoff envelope (the flow computations differ only in fusion
+    context), using a random-weight temporal checkpoint."""
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+    from patch_toon_tpu.train import StyleTransferModel
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+    base = temporal_scene
+    g_args = dict(input_channels=6, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=1,
+                  filters=[4, 8, 8, 8, 8, 4], norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=16, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    CheckpointManager(
+        tmp_path / "ckpt",
+        meta={"input_channels": 6, "generator_args": g_args,
+              "patch_size": 16},
+    ).save(state, epoch=0, score=1.0)
+    root = pathlib.Path(__file__).resolve().parents[1]
+
+    def run(out_dir, extra):
+        cfg = compose(root / "config", "inference", overrides=[
+            f"paths.checkpoint={tmp_path}/ckpt/last",
+            f"paths.input_dir={base}/input",
+            f"paths.mask_dir={base}/mask",
+            f"paths.output_dir={out_dir}",
+            "paths.additional_channels={}",
+            "data.patch_size=16", "inference.use_gpu=false",
+            "+inference.temporal.enabled=true",
+            "+inference.temporal.depth=3",
+        ] + extra)
+        StyleTransferInference(cfg).process_directory()
+
+    run(tmp_path / "files", [f"+inference.temporal.flow_dir={base}/flow_bwd",
+                             "+inference.temporal.flow_upload=f32"])
+    run(tmp_path / "device", ["+inference.temporal.flow_source=device"])
+    outs = sorted((tmp_path / "device").glob("*.png"))
+    assert len(outs) == 5
+    for p in outs:
+        a = np.asarray(Image.open(p), np.int16)
+        b = np.asarray(Image.open(tmp_path / "files" / p.name), np.int16)
+        # identical math, different fusion contexts: allow +-1 count
+        assert np.abs(a - b).max() <= 1, p.name
+
+
+def test_temporal_crop_readback_byte_identical(tmp_path):
+    """Temporal chain with a PARTIAL mask: crop_readback=auto fetches only
+    the mask-support bbox and reconstructs the rest from the input bytes —
+    outputs must be byte-identical to crop_readback=off, and the crop must
+    actually engage (bbox smaller than the frame)."""
+    from optical_flow import OpticalFlowCalculator
+
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+    from patch_toon_tpu.train import StyleTransferModel
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+    rng = np.random.default_rng(5)
+    base = tmp_path / "scene"
+    for sub in ("input", "mask"):
+        (base / sub).mkdir(parents=True)
+    h, w = 96, 192  # big enough that the 64-aligned bbox < 0.85 * frame
+    bg = (rng.random((h, w, 3)) * 160).astype(np.uint8)
+    for i in range(3):
+        frame = bg.copy()
+        x0 = 10 + 6 * i
+        frame[12:40, x0:x0 + 20] = (rng.random(3) * 100 + 155).astype(
+            np.uint8)
+        Image.fromarray(frame).save(base / "input" / f"{i:03d}.png")
+        mask = np.zeros((h, w), np.uint8)
+        mask[4:52, 4:60] = 255  # support well inside one aligned tile
+        Image.fromarray(mask).save(base / "mask" / f"{i:03d}.png")
+    OpticalFlowCalculator(
+        base / "input", base / "flow_fwd", base / "flow_bwd",
+        base / "mask", backend="tpu").calculate_flows()
+
+    g_args = dict(input_channels=6, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=1,
+                  filters=[4, 8, 8, 8, 8, 4], norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=16, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    CheckpointManager(
+        tmp_path / "ckpt",
+        meta={"input_channels": 6, "generator_args": g_args,
+              "patch_size": 16},
+    ).save(state, epoch=0, score=1.0)
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+
+    def run(out_dir, crop):
+        cfg = compose(root / "config", "inference", overrides=[
+            f"paths.checkpoint={tmp_path}/ckpt/last",
+            f"paths.input_dir={base}/input",
+            f"paths.mask_dir={base}/mask",
+            f"paths.output_dir={out_dir}",
+            "paths.additional_channels={}",
+            "data.patch_size=16", "inference.use_gpu=false",
+            f"inference.crop_readback={crop}",
+            "+inference.temporal.enabled=true",
+            f"+inference.temporal.flow_dir={base}/flow_bwd",
+            "+inference.temporal.depth=3",
+        ])
+        eng = StyleTransferInference(cfg)
+        eng.process_directory()
+        return eng
+
+    eng = run(tmp_path / "crop", "auto")
+    assert getattr(eng, "_last_crop", None) is not None  # crop engaged
+    y0, y1, x0, x1 = eng._last_crop
+    assert (y1 - y0) * (x1 - x0) < h * w
+    run(tmp_path / "nocrop", "off")
+    outs = sorted((tmp_path / "crop").glob("*.png"))
+    assert len(outs) == 3
+    for p in outs:
+        a = np.asarray(Image.open(p))
+        b = np.asarray(Image.open(tmp_path / "nocrop" / p.name))
+        np.testing.assert_array_equal(a, b, err_msg=p.name)
 
 
 def test_temporal_watch_chain_persists(temporal_scene, tmp_path):
