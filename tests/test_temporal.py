@@ -323,6 +323,63 @@ def test_temporal_device_flow_e2e(temporal_scene, tmp_path):
         assert np.abs(a - b).max() <= 1, p.name
 
 
+def test_temporal_device_flow_chain_persists_across_calls(temporal_scene,
+                                                          tmp_path):
+    """flow_source=device across split process_directory calls (the watch
+    service's pattern): the chain state — previous stylized output AND
+    previous frame's grayscale — must persist on the engine, giving
+    byte-identical outputs to a one-shot run over all frames."""
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+    from patch_toon_tpu.train import StyleTransferModel
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+    base = temporal_scene
+    g_args = dict(input_channels=6, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=1,
+                  filters=[4, 8, 8, 8, 8, 4], norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=16, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    CheckpointManager(
+        tmp_path / "ckpt",
+        meta={"input_channels": 6, "generator_args": g_args,
+              "patch_size": 16},
+    ).save(state, epoch=0, score=1.0)
+    root = pathlib.Path(__file__).resolve().parents[1]
+
+    def make_engine(out_dir):
+        return StyleTransferInference(compose(
+            root / "config", "inference", overrides=[
+                f"paths.checkpoint={tmp_path}/ckpt/last",
+                f"paths.input_dir={base}/input",
+                f"paths.mask_dir={base}/mask",
+                f"paths.output_dir={out_dir}",
+                "paths.additional_channels={}",
+                "data.patch_size=16", "inference.use_gpu=false",
+                "+inference.temporal.enabled=true",
+                "+inference.temporal.flow_source=device",
+                "+inference.temporal.depth=3",
+            ]))
+
+    make_engine(tmp_path / "oneshot").process_directory()
+    files = sorted((base / "input").glob("*.png"))
+    eng = make_engine(tmp_path / "split")
+    eng.process_directory(files=files[:3], progress=False)
+    eng.process_directory(files=files[3:], progress=False)
+    for i in range(5):
+        a = np.asarray(Image.open(tmp_path / "split" / f"{i:03d}.png"))
+        b = np.asarray(Image.open(tmp_path / "oneshot" / f"{i:03d}.png"))
+        np.testing.assert_array_equal(a, b, err_msg=f"{i:03d}.png")
+
+
 def test_temporal_crop_readback_byte_identical(tmp_path):
     """Temporal chain with a PARTIAL mask: crop_readback=auto fetches only
     the mask-support bbox and reconstructs the rest from the input bytes —
