@@ -407,6 +407,104 @@ def bench_fullframe(frames: int = 30) -> dict:
             "fullframe_compute_only": round(compute_fps, 3)}
 
 
+def bench_temporal(frames: int = 16) -> dict:
+    """Temporal-guide serving chain with on-device flow (the flagship
+    beyond-reference capability: ``inference.temporal.flow_source=device``).
+
+    Per frame, exactly the engine's live-serving loop: upload the uint8 RGB
+    frame, derive the backward flow against the previous frame's device-
+    resident grayscale (_temporal_device_flow: PIL-exact luma + masked
+    pyramidal LK — no precomputed flows, no flow upload), build the
+    6-channel generator input in one fused dispatch (_temporal_prep: warp
+    of the previous stylized output + guide concat), run the tiled parity
+    program, feed the float output back into the chain, and overlap each
+    frame's uint8 readback with the next frame's compute. The chain is
+    inherently sequential (frame i needs frame i-1's output), so this is
+    the per-stream rate; independent streams scale across chips
+    (DEPLOY.md).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    from patch_toon_tpu.infer.engine import (
+        _device_gray,
+        _temporal_device_flow,
+        _temporal_prep,
+        make_multiframe_fn,
+    )
+    from patch_toon_tpu.infer.tiling import (
+        bucket_size,
+        pack_boxes_multi,
+        tile_boxes_from_mask,
+    )
+    from patch_toon_tpu.models import GeneratorJ
+    from patch_toon_tpu.utils.xla_options import resolve_xla_options
+
+    h, w, c, ps = 512, 910, 6, 80  # 3 RGB + 3 temporal-guide channels
+    gen = GeneratorJ(
+        input_channels=c, use_bias=True, tanh=True, append_smoothers=True,
+        resnet_blocks=7, filters=(32, 64, 128, 128, 128, 64),
+        dtype=jnp.bfloat16,
+    )
+    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, ps, ps, c)))
+    mask = np.ones((h, w), np.float32)
+    boxes = tile_boxes_from_mask(mask, ps, 30.0)
+    bucket = bucket_size(len(boxes))
+    fb, wts, _ = pack_boxes_multi([boxes], ps, bucket)
+    fn = make_multiframe_fn(gen, ps, bucket, 1, h, w, c, jnp.bfloat16,
+                            compiler_options=resolve_xla_options("auto"))
+    fb_j, wts_j = jnp.asarray(fb), jnp.asarray(wts)
+    mask_j = jnp.asarray(mask[None, ..., None])
+    fmask_j = jnp.asarray(np.ones((h, w), np.uint8))
+    rng = np.random.default_rng(0)
+    host_u8 = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+               for _ in range(3)]
+    fetch_pool = ThreadPoolExecutor(max_workers=4)
+
+    def chain_window(n: int, fetch_all: bool) -> float:
+        prev = prev_gray = None
+        in_flight = []
+        t0 = time.perf_counter()
+        for i in range(n):
+            fdev = jnp.asarray(host_u8[i % 3])
+            if prev is None:
+                full = _temporal_prep(fdev, None, None, 3)
+                gray = _device_gray(fdev)
+            else:
+                flow, gray = _temporal_device_flow(fdev, prev_gray, fmask_j)
+                full = _temporal_prep(fdev, prev, flow, 3)
+            u8, outf = fn(g_vars, full[None], fb_j, wts_j, mask_j)
+            prev, prev_gray = outf[0], gray
+            if fetch_all:
+                try:
+                    u8.copy_to_host_async()
+                except Exception:
+                    pass
+                in_flight.append(fetch_pool.submit(np.asarray, u8))
+                if len(in_flight) > 4:
+                    in_flight.pop(0).result()
+        for f in in_flight:
+            f.result()
+        if not fetch_all:
+            np.asarray(u8[0, 0, 0])  # tiny sync for dispatch-difference
+        return time.perf_counter() - t0
+
+    chain_window(3, True)  # compile all chain programs + steady state
+    chain_window(3, True)
+    stream_fps = max(frames / chain_window(frames, True) for _ in range(3))
+    n = max(4, frames // 2)
+    compute_fps = max(n / max(chain_window(2 * n, False)
+                              - chain_window(n, False), 1e-9)
+                      for _ in range(2))
+    print(f"[bench] temporal chain (device flow): streaming "
+          f"{stream_fps:.1f} fps, compute-only {compute_fps:.1f} fps",
+          file=sys.stderr)
+    return {"temporal_device_streaming": round(stream_fps, 3),
+            "temporal_device_compute_only": round(compute_fps, 3)}
+
+
 def main() -> None:
     from patch_toon_tpu.utils.cache import enable_compilation_cache
 
@@ -429,6 +527,11 @@ def main() -> None:
     except Exception as e:
         print(f"[bench] fullframe bench failed: {e}", file=sys.stderr)
         ff = {}
+    try:
+        tmp = bench_temporal()
+    except Exception as e:
+        print(f"[bench] temporal bench failed: {e}", file=sys.stderr)
+        tmp = {}
     # Comparison bases (see BASELINE.md): the measured reference-equivalent
     # torch CPU throughput (0.052 frames/s tiled inference; 1.0 patches/s
     # training at the shipped default config) and the 30 fps north star.
@@ -446,6 +549,7 @@ def main() -> None:
         **transport,
         **tiled,
         **ff,
+        **tmp,
     }
     if pps is not None:
         result["training_patches_per_sec"] = round(pps, 1)
