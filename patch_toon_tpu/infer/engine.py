@@ -100,33 +100,44 @@ def _temporal_prep(frame, prev, flow, depth: int):
         [fdev, guide[..., :depth].astype(jnp.float32)], axis=-1)
 
 
-@jax.jit
-def _temporal_device_flow(frame, prev_gray, fmask):
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _temporal_device_flow(frame, prev_gray, fmask, scale: int = 1):
     """One dispatch: PIL-exact grayscale of this frame + pyramidal-LK
     backward flow against the previous frame's (device-resident) grayscale.
 
-    This is the same computation ``tools/optical_flow.py`` backend="tpu"
-    writes to ``flow_bwd/{i}.npy`` — ``masked_flow(gray_i/255,
-    gray_{i-1}/255, mask_i > 127)`` on bit-exact PIL luma (ops.flow.
+    At ``scale=1`` this is the same computation ``tools/optical_flow.py``
+    backend="tpu" writes to ``flow_bwd/{i}.npy`` — ``masked_flow(gray_i/
+    255, gray_{i-1}/255, mask_i > 127)`` on bit-exact PIL luma (ops.flow.
     pil_gray) — so ``flow_source=device`` serves the identical chain with
     NO flow upload and no preprocessing pass. ``fmask`` None (maskless
     frame / mask dir ignored) skips the out-of-mask zeroing, like the
     tool would with an all-true mask.
 
+    ``scale`` in (2, 4) runs LK on a 2x/4x-downsampled pyramid and
+    bilinearly upsamples the displacement field — the finest pyramid
+    level is ~70% of the LK cost, and a stylization guide rarely needs
+    sub-pixel flow (inference.temporal.flow_scale; the out-of-mask
+    zeroing still applies at FULL resolution, preserving the tool's mask
+    semantics exactly).
+
     Returns (flow, gray): ``gray`` (uint8, H*W bytes) stays on device as
     the next frame's comparison target.
     """
-    from patch_toon_tpu.ops.flow import masked_flow, pil_gray
+    from patch_toon_tpu.ops.flow import _downsample2, dense_flow, pil_gray
 
     gray = pil_gray(frame[..., :3])
     g1 = gray.astype(jnp.float32) / 255.0
     g0 = prev_gray.astype(jnp.float32) / 255.0
-    if fmask is None:
-        from patch_toon_tpu.ops.flow import dense_flow
-
-        flow = dense_flow(g1, g0)
-    else:
-        flow = masked_flow(g1, g0, fmask)
+    s = scale
+    while s > 1:
+        g1, g0 = _downsample2(g1), _downsample2(g0)
+        s //= 2
+    flow = dense_flow(g1, g0)
+    if scale > 1:
+        h, w = gray.shape
+        flow = scale * jax.image.resize(flow, (h, w, 2), method="bilinear")
+    if fmask is not None:
+        flow = flow * (fmask.astype(jnp.float32) > 0.5)[..., None]
     return flow, gray
 
 
@@ -517,6 +528,14 @@ class StyleTransferInference:
             raise ValueError(
                 f"inference.temporal.flow_source="
                 f"{self.temporal_flow_source!r}: expected files/device")
+        # flow_scale (device source only): LK on a 2x/4x-downsampled
+        # pyramid, displacements upsampled — ~3x cheaper flow for guides
+        # that don't need sub-pixel accuracy; 1 = the tool's exact flow
+        self.temporal_flow_scale = int(tcfg.get("flow_scale", 1))
+        if self.temporal_flow_scale not in (1, 2, 4):
+            raise ValueError(
+                f"inference.temporal.flow_scale="
+                f"{self.temporal_flow_scale!r}: expected 1, 2 or 4")
         # resolved below once self.upload_u8 is known ("auto" follows it)
         self._temporal_flow_upload = str(
             tcfg.get("flow_upload", "auto")).lower()
@@ -1497,7 +1516,8 @@ class StyleTransferInference:
                     if prev_float is not None and prev_gray is not None:
                         fmask = None if aux is None else jnp.asarray(aux)
                         flow_in, gray = _temporal_device_flow(
-                            fdev, prev_gray, fmask)
+                            fdev, prev_gray, fmask,
+                            self.temporal_flow_scale)
                         prev_in = prev_float
                     else:
                         gray = _device_gray(fdev)

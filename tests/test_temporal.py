@@ -267,6 +267,35 @@ def test_device_flow_matches_tool_npy(temporal_scene):
         np.asarray(Image.fromarray(f_cur).convert("L")))
 
 
+def test_device_flow_scale():
+    """flow_scale=2 recovers a rigid translation about as well as full-res
+    flow (upsampled displacements), and scale=1 stays bit-identical to the
+    masked_flow path it refactored."""
+    from patch_toon_tpu.infer.engine import _temporal_device_flow
+    from patch_toon_tpu.ops.flow import masked_flow, pil_gray
+
+    rng = np.random.default_rng(4)
+    base = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+    shifted = np.roll(base, -3, axis=1)  # scene moves 3 px left -> dx=+3?
+    fmask = jnp.asarray(np.ones((64, 96), np.uint8))
+    f1, gray1 = _temporal_device_flow(
+        jnp.asarray(shifted), pil_gray(jnp.asarray(base)), fmask, 1)
+    # scale=1 == the tool's masked_flow on the same grays (float roundoff:
+    # eager call vs fused-in-jit fusion context)
+    want = masked_flow(
+        pil_gray(jnp.asarray(shifted)).astype(jnp.float32) / 255.0,
+        pil_gray(jnp.asarray(base)).astype(jnp.float32) / 255.0, fmask)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(want), atol=1e-4)
+    f2, _ = _temporal_device_flow(
+        jnp.asarray(shifted), pil_gray(jnp.asarray(base)), fmask, 2)
+    # both should recover ~3 px horizontal motion in the interior
+    a = np.asarray(f1)[16:-16, 16:-16]
+    b = np.asarray(f2)[16:-16, 16:-16]
+    assert abs(float(np.median(a[..., 0])) - 3.0) < 1.0
+    assert abs(float(np.median(b[..., 0])) - 3.0) < 1.5
+    assert f2.shape == f1.shape
+
+
 def test_temporal_device_flow_e2e(temporal_scene, tmp_path):
     """flow_source=device serves the same chain as flow_source=files when
     the .npy files came from the tpu backend — outputs within the float-
