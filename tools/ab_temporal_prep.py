@@ -75,9 +75,10 @@ def main() -> None:
                 for _ in range(3)]
     gray0 = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
 
-    def device_prep(frame, mask):
+    def device_prep(frame, mask, scale=1):
         fdev = jnp.asarray(frame)
-        flow, _gray = _temporal_device_flow(fdev, gray0, jnp.asarray(mask))
+        flow, _gray = _temporal_device_flow(
+            fdev, gray0, jnp.asarray(mask), scale)
         return _temporal_prep(fdev, prev, flow, 3)
 
     def run(prep, flows):
@@ -92,6 +93,10 @@ def main() -> None:
         "fused_f32": lambda: run(fused_prep, flows_f32),
         "fused_f16": lambda: run(fused_prep, flows_f16),
         "device_flow": lambda: run(device_prep, masks_u8),
+        "device_flow_s2": lambda: run(
+            lambda f, m: device_prep(f, m, 2), masks_u8),
+        "device_flow_s4": lambda: run(
+            lambda f, m: device_prep(f, m, 4), masks_u8),
     }
     for fn in arms.values():  # warm traces
         fn()
@@ -101,13 +106,17 @@ def main() -> None:
             times[k].append(fn())
 
     mins = {k: min(v) * 1e3 for k, v in times.items()}
+    dev_mb = (frames_u8[0].nbytes + masks_u8[0].nbytes) / 1e6
     mb = {"eager_f32": (frames_u8[0].nbytes + flows_f32[0].nbytes) / 1e6,
           "fused_f32": (frames_u8[0].nbytes + flows_f32[0].nbytes) / 1e6,
           "fused_f16": (frames_u8[0].nbytes + flows_f16[0].nbytes) / 1e6,
-          "device_flow": (frames_u8[0].nbytes + masks_u8[0].nbytes) / 1e6}
+          "device_flow": dev_mb,
+          "device_flow_s2": dev_mb,
+          "device_flow_s4": dev_mb}
     for k in arms:
         print(f"{k}: {mb[k]:5.2f} MB/frame H2D  min {mins[k]:7.1f} ms/frame")
-    for k in ("fused_f32", "fused_f16", "device_flow"):
+    for k in ("fused_f32", "fused_f16", "device_flow", "device_flow_s2",
+              "device_flow_s4"):
         print(f"{k} vs eager: {mins['eager_f32'] / mins[k]:.2f}x")
     if args.out:
         Path(args.out).write_text(json.dumps({
