@@ -123,19 +123,11 @@ def _temporal_device_flow(frame, prev_gray, fmask, scale: int = 1):
     Returns (flow, gray): ``gray`` (uint8, H*W bytes) stays on device as
     the next frame's comparison target.
     """
-    from patch_toon_tpu.ops.flow import _downsample2, dense_flow, pil_gray
+    from patch_toon_tpu.ops.flow import dense_flow, pil_gray
 
     gray = pil_gray(frame[..., :3])
-    g1 = gray.astype(jnp.float32) / 255.0
-    g0 = prev_gray.astype(jnp.float32) / 255.0
-    s = scale
-    while s > 1:
-        g1, g0 = _downsample2(g1), _downsample2(g0)
-        s //= 2
-    flow = dense_flow(g1, g0)
-    if scale > 1:
-        h, w = gray.shape
-        flow = scale * jax.image.resize(flow, (h, w, 2), method="bilinear")
+    flow = dense_flow(gray.astype(jnp.float32) / 255.0,
+                      prev_gray.astype(jnp.float32) / 255.0, scale=scale)
     if fmask is not None:
         flow = flow * (fmask.astype(jnp.float32) > 0.5)[..., None]
     return flow, gray

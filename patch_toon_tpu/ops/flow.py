@@ -144,7 +144,7 @@ def _lk_refine(i1: jax.Array, i2: jax.Array, flow: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("levels", "iters", "window"))
+                   static_argnames=("levels", "iters", "window", "scale"))
 def dense_flow(
     img1: jax.Array,      # (H, W) grayscale float in [0, 1]
     img2: jax.Array,
@@ -152,10 +152,27 @@ def dense_flow(
     iters: int = 4,
     window: int = 15,
     eps: float = 1e-4,
+    scale: int = 1,
 ) -> jax.Array:
-    """Dense flow img1 -> img2, returns (H, W, 2) float32 (dx, dy)."""
+    """Dense flow img1 -> img2, returns (H, W, 2) float32 (dx, dy).
+
+    ``scale`` in (2, 4) skips the finest pyramid level(s): LK runs on a
+    ``scale``-x downsampled pair and the displacement field is bilinearly
+    upsampled back to full resolution (x ``scale``). The finest level is
+    ~70% of the cost and stylization guides rarely need sub-pixel flow
+    (``inference.temporal.flow_scale`` / ``tools/optical_flow.py --scale``;
+    measured 119 -> 90 ms/frame on the serving chain prologue,
+    docs/perf/ab_temporal_prep_r3_flowscale.json). ``scale=1`` is exact.
+    """
+    if scale not in (1, 2, 4):
+        raise ValueError(f"scale={scale!r}: expected 1, 2 or 4")
+    full_hw = img1.shape
     i1 = img1.astype(jnp.float32)
     i2 = img2.astype(jnp.float32)
+    s = scale
+    while s > 1:
+        i1, i2 = _downsample2(i1), _downsample2(i2)
+        s //= 2
     pyr: List[Tuple[jax.Array, jax.Array]] = [(i1, i2)]
     for _ in range(levels - 1):
         a, b = pyr[-1]
@@ -172,6 +189,9 @@ def dense_flow(
             flow = 2.0 * jax.image.resize(
                 flow, (*a.shape, 2), method="bilinear")
         flow = _lk_refine(a, b, flow, window, iters, eps)
+    if scale > 1:
+        flow = scale * jax.image.resize(
+            flow, (*full_hw, 2), method="bilinear")
     return flow
 
 

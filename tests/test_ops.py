@@ -124,6 +124,61 @@ def test_dense_flow_recovers_translation():
     assert abs(np.median(interior[..., 1]) - dy) < 0.5
 
 
+def test_dense_flow_scale_recovers_translation():
+    """scale=2 (LK on a downsampled pyramid, displacements upsampled)
+    recovers a rigid translation at full output resolution; scale=1 is
+    the exact path (regression: default unchanged); bad scale raises."""
+    rng = np.random.default_rng(2)
+    base = rng.random((96, 128)).astype(np.float32)
+    from patch_toon_tpu.ops.flow import _box_filter
+
+    base = np.asarray(_box_filter(jnp.asarray(base)[..., None], 7))[..., 0] / 49.0
+    img2 = np.roll(base, 4, axis=1)  # moved by dx=4
+    flow = np.asarray(dense_flow(jnp.asarray(base), jnp.asarray(img2),
+                                 levels=3, iters=6, window=15, scale=2))
+    assert flow.shape == (96, 128, 2)
+    interior = flow[20:-20, 20:-20]
+    assert abs(np.median(interior[..., 0]) - 4) < 1.0
+    assert abs(np.median(interior[..., 1])) < 1.0
+    exact = dense_flow(jnp.asarray(base), jnp.asarray(img2),
+                       levels=3, iters=6, window=15, scale=1)
+    ref = dense_flow(jnp.asarray(base), jnp.asarray(img2),
+                     levels=3, iters=6, window=15)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(ref))
+    with pytest.raises(ValueError, match="scale"):
+        dense_flow(jnp.asarray(base), jnp.asarray(img2), scale=3)
+
+
+def test_optical_flow_tool_scale(tmp_path):
+    """tools/optical_flow.py --scale plumbs through to dense_flow and
+    rejects the dis backend; outputs keep full resolution + mask zeroing."""
+    import sys as _sys
+    _sys.path.insert(0, "tools")
+    from optical_flow import OpticalFlowCalculator
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    base = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    (tmp_path / "input").mkdir()
+    (tmp_path / "mask").mkdir()
+    mask = np.zeros((48, 64), np.uint8)
+    mask[8:40, 8:56] = 255
+    for i, fr in enumerate([base, np.roll(base, 2, axis=1)], start=1):
+        Image.fromarray(fr).save(tmp_path / "input" / f"{i:03d}.png")
+        Image.fromarray(mask).save(tmp_path / "mask" / f"{i:03d}.jpg")
+    OpticalFlowCalculator(
+        tmp_path / "input", tmp_path / "fwd", tmp_path / "bwd",
+        tmp_path / "mask", scale=2).calculate_flows()
+    fwd = np.load(tmp_path / "fwd" / "001.npy")
+    assert fwd.shape == (48, 64, 2) and fwd.dtype == np.float32
+    assert np.all(fwd[np.asarray(Image.open(
+        tmp_path / "mask" / "001.jpg").convert("L")) <= 127] == 0)
+    with pytest.raises(ValueError, match="scale"):
+        OpticalFlowCalculator(
+            tmp_path / "input", tmp_path / "fwd", tmp_path / "bwd",
+            tmp_path / "mask", backend="dis", scale=2)
+
+
 def test_masked_flow_zeroes_outside():
     img = np.random.default_rng(1).random((40, 40)).astype(np.float32)
     mask = np.zeros((40, 40), np.float32)

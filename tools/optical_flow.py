@@ -38,6 +38,7 @@ class OpticalFlowCalculator:
         mask_dir: Union[str, Path],
         file_format: str = "%03d",
         backend: str = "tpu",
+        scale: int = 1,
     ):
         self.input_dir = Path(input_dir)
         self.flow_fwd_dir = Path(flow_fwd_dir)
@@ -45,6 +46,11 @@ class OpticalFlowCalculator:
         self.mask_dir = Path(mask_dir)
         self.file_format = file_format
         self.backend = backend
+        # scale 2/4: LK on a downsampled pyramid, displacements upsampled
+        # (ops.flow.dense_flow scale=) — cheaper guides, tpu backend only
+        self.scale = int(scale)
+        if self.scale != 1 and backend != "tpu":
+            raise ValueError("--scale requires the tpu backend")
 
         self.flow_fwd_dir.mkdir(parents=True, exist_ok=True)
         self.flow_bwd_dir.mkdir(parents=True, exist_ok=True)
@@ -106,6 +112,7 @@ class OpticalFlowCalculator:
             jnp.asarray(img1, jnp.float32) / 255.0,
             jnp.asarray(img2, jnp.float32) / 255.0,
             jnp.asarray(mask),
+            scale=self.scale,
         )
         return np.asarray(flow, dtype=np.float32)
 
@@ -146,11 +153,15 @@ def main() -> int:
     parser.add_argument("flow_bwd_dir")
     parser.add_argument("--format", default="%03d")
     parser.add_argument("--backend", choices=["tpu", "dis"], default="tpu")
+    parser.add_argument("--scale", type=int, choices=[1, 2, 4], default=1,
+                        help="tpu backend: LK on a downsampled pyramid, "
+                        "displacements upsampled (cheaper, sub-pixel lost)")
     args = parser.parse_args()
     try:
         OpticalFlowCalculator(
             args.input_dir, args.flow_fwd_dir, args.flow_bwd_dir,
             args.mask_dir, args.format, backend=args.backend,
+            scale=args.scale,
         ).calculate_flows()
         return 0
     except Exception as e:
