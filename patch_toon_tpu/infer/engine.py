@@ -141,9 +141,20 @@ def _device_gray(frame):
     return pil_gray(frame[..., :3])
 
 
-def _mask_f32(mask):
-    """Masks upload as uint8 {0,1} (4x fewer bytes) or fp32; compute is
-    always fp32."""
+def _mask_f32(mask, like=None):
+    """Masks upload as fp32 planes, uint8 {0,1} planes (4x fewer bytes),
+    or bit-PACKED uint8 (``np.packbits`` of the binary plane — 8x fewer
+    wire bytes again, ~65 KB vs 519 KB at 540x960; the mask is the
+    second-largest upload after the frame). Compute is always fp32.
+
+    A packed mask is recognized by rank: ``like`` (the frame batch the
+    mask belongs to) has 2 more axes — (..., H, W, C) vs (..., ceil(H*W/8))
+    — and H, W are static inside the jitted program, so the unpack is one
+    fused device op (``_mask_wire`` is the host-side encoder)."""
+    if like is not None and mask.ndim == like.ndim - 2:
+        h, w = like.shape[-3], like.shape[-2]
+        bits = jnp.unpackbits(mask, axis=-1, count=h * w)
+        return bits.reshape(*mask.shape[:-1], h, w, 1).astype(jnp.float32)
     return mask if mask.dtype == jnp.float32 else mask.astype(jnp.float32)
 
 
@@ -176,7 +187,7 @@ def make_fullframe_fn(generator, h: int, w: int, c: int, dtype,
     wp = (w + 3) // 4 * 4
 
     def fn(g_vars, frame, mask):
-        frame, mask = _to_signed_unit(frame), _mask_f32(mask)
+        frame, mask = _to_signed_unit(frame), _mask_f32(mask, frame)
         x = jnp.pad(frame, ((0, hp - h), (0, wp - w), (0, 0)))
         out = generator.apply(
             g_vars, x[None].astype(dtype), train=False
@@ -195,7 +206,7 @@ def make_batched_fullframe_fn(generator, h: int, w: int, c: int, dtype,
     wp = (w + 3) // 4 * 4
 
     def body(g_vars, frames, masks):
-        frames, masks = _to_signed_unit(frames), _mask_f32(masks)
+        frames, masks = _to_signed_unit(frames), _mask_f32(masks, frames)
         x = jnp.pad(frames, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         out = generator.apply(
             g_vars, x.astype(dtype), train=False
@@ -245,7 +256,7 @@ def _frame_body(generator, patch_size: int, bucket: int,
     def frame_fn(g_vars, frame, boxes, weights, mask):
         # frame (H,W,C) fp32 [-1,1] or uint8 [0,255]; boxes (B,4) i32;
         # weights (B,ps,ps) f32; mask (H,W,1) f32/u8 {0,1}
-        frame, mask = _to_signed_unit(frame), _mask_f32(mask)
+        frame, mask = _to_signed_unit(frame), _mask_f32(mask, frame)
         repr_, mult = _gather_repr(frame, dtype)
         fpad = jnp.pad(repr_, ((ps, ps), (ps, ps), (0, 0)))
 
@@ -342,7 +353,7 @@ def _multiframe_body(generator, patch_size: int, bucket: int, n_frames: int,
         # masks (F,H,W,1). Frames are flattened along H so the
         # gather/scatter stay 3D — dynamic slices on a 4D canvas cost
         # ~2x per scan iteration.
-        frames, masks = _to_signed_unit(frames), _mask_f32(masks)
+        frames, masks = _to_signed_unit(frames), _mask_f32(masks, frames)
         hp2 = h + 2 * ps
         # fast-path gather representation (see _gather_repr: fp32 batched
         # slices are ~80x slower on v5e; bf16 casts, fp32 bitcasts to uint16)
@@ -572,6 +583,18 @@ class StyleTransferInference:
         else:
             raise ValueError(
                 f"inference.upload={up!r}: expected auto/u8/f32")
+        # inference.mask_upload: binary masks bit-pack for the wire
+        # (np.packbits, 8x fewer bytes than the uint8 plane; exact in all
+        # precision modes — see _mask_wire). "plane" restores the dense
+        # (H, W, 1) upload.
+        mu = str(inf.get("mask_upload", "packed")).lower()
+        if mu in ("packed", "auto", "bits"):
+            self.mask_packed = True
+        elif mu == "plane":
+            self.mask_packed = False
+        else:
+            raise ValueError(
+                f"inference.mask_upload={mu!r}: expected packed/plane")
         # inference.temporal.flow_upload: the flow .npy is the LARGEST
         # per-frame H2D transfer in temporal mode (H*W*2 fp32 ≈ 4.1 MB at
         # 540x960 — more than the uint8 frame itself). f16 halves it; the
@@ -729,7 +752,7 @@ class StyleTransferInference:
                     compiler_options=self.xla_options)
             u8, out_float = self._frame_fns[key](
                 self.g_vars, jnp.asarray(frame),
-                jnp.asarray(self._mask_up(mask)[..., None]))
+                jnp.asarray(self._mask_wire(mask)))
             return u8, out_float, []
         if boxes is None:
             boxes = tile_boxes_from_mask(
@@ -741,7 +764,7 @@ class StyleTransferInference:
         fn = self._frame_fn(h, w, c, bucket)
         u8, out_float = fn(self.g_vars, jnp.asarray(frame),
                            jnp.asarray(packed_boxes), jnp.asarray(weights),
-                           jnp.asarray(self._mask_up(mask)[..., None]))
+                           jnp.asarray(self._mask_wire(mask)))
         return u8, out_float, boxes
 
     def process_large_image(
@@ -790,6 +813,23 @@ class StyleTransferInference:
         if (u8 == mask).all():
             return u8
         return mask
+
+    def _mask_wire(self, mask: np.ndarray) -> np.ndarray:
+        """Wire form of an (eroded) mask batch (..., H, W) for upload.
+
+        Binary masks bit-pack via ``np.packbits`` (8x fewer wire bytes
+        than the uint8 plane; on a congested tunnel the H2D leg gates the
+        streaming headline, bench.py transport_h2d_MBps). The programs
+        unpack on device (``_mask_f32`` with ``like=``) — the {0,1} plane
+        is reproduced bit-for-bit, so packing is exact in EVERY precision
+        mode, including strict fp32 parity. Fractional masks (possible via
+        the public ``process_large_image`` API) ship as fp32 planes.
+        ``inference.mask_upload=plane`` restores the unpacked form."""
+        if self.mask_packed:
+            u8 = mask.astype(np.uint8)
+            if (u8 == mask).all():
+                return np.packbits(u8.reshape(*u8.shape[:-2], -1), axis=-1)
+        return self._mask_up(mask)[..., None]
 
     def _load_eroded_mask(self, mask_path: str, shape_hw) -> Optional[np.ndarray]:
         mask_dir = os.path.dirname(mask_path)
@@ -1281,8 +1321,7 @@ class StyleTransferInference:
                     self._g_vars_sharded,
                     jax.device_put(jnp.asarray(np.stack(frames)), sh),
                     jax.device_put(
-                        jnp.asarray(self._mask_up(
-                            np.stack(masks)))[..., None], sh))
+                        jnp.asarray(self._mask_wire(np.stack(masks))), sh))
             return u8[:n_real]
 
         fpd = getattr(self, "_pod_fpd", 1)
@@ -1304,7 +1343,7 @@ class StyleTransferInference:
                 self.model.generator, self.patch_size, bucket, fpd, h, w, c,
                 self.dtype, mesh, compiler_options=self.xla_options)
         fr = np.stack(frames).reshape(D, fpd, h, w, c)
-        mk = self._mask_up(np.stack(masks)).reshape(D, fpd, h, w)[..., None]
+        mk = self._mask_wire(np.stack(masks).reshape(D, fpd, h, w))
         with mesh:
             u8, _ = self._frame_fns[key](
                 self._g_vars_sharded,
@@ -1334,7 +1373,7 @@ class StyleTransferInference:
         u8, _ = self._frame_fns[key](
             self.g_vars, jnp.stack(frames),
             jnp.asarray(fboxes), jnp.asarray(weights),
-            jnp.asarray(self._mask_up(np.stack(masks)))[..., None])
+            jnp.asarray(self._mask_wire(np.stack(masks))))
         return u8
 
     def _temporal_register(self, name: str) -> None:

@@ -165,3 +165,75 @@ def test_upload_auto_per_precision(tmp_path):
             f"inference.precision={prec}",
         ])
         assert StyleTransferInference(icfg).upload_u8 == want, prec
+
+
+@pytest.mark.parametrize("mode,extra", [
+    ("tiled", []),
+    ("fullframe", []),
+    ("tiled", ["+inference.frames_per_dispatch=2"]),
+    ("tiled", ["inference.devices=8"]),
+])
+def test_mask_packed_byte_identical(tmp_path, mode, extra):
+    """Bit-packed mask upload (inference.mask_upload=packed, the default:
+    np.packbits on the wire, jnp.unpackbits in the program — 8x fewer mask
+    bytes) is byte-identical to the dense plane upload on every program
+    family: tiled, fullframe, co-batched multiframe, pod."""
+    ckpt = _make_ckpt(tmp_path, 3)
+    scene = _make_scene(tmp_path, n=4)
+    tag = f"{mode}_{len(extra)}"
+    engines = {}
+    for mu in ("packed", "plane"):
+        engines[mu] = _run(
+            ckpt, scene, tmp_path / f"mp_{tag}_{mu}", "u8",
+            extra=[f"inference.mode={mode}",
+                   f"inference.mask_upload={mu}", *extra])
+    assert engines["packed"].mask_packed
+    assert not engines["plane"].mask_packed
+    a = _images(tmp_path / f"mp_{tag}_packed")
+    b = _images(tmp_path / f"mp_{tag}_plane")
+    assert len(a) == len(b) == 4
+    for name in a:
+        assert np.array_equal(a[name], b[name]), name
+
+
+def test_mask_packed_strict_precision(tmp_path):
+    """Packing is exact (the {0,1} plane is reproduced bit-for-bit), so it
+    stays ON in strict precision=32 parity mode — outputs must still match
+    the plane upload byte-for-byte there."""
+    ckpt = _make_ckpt(tmp_path, 3)
+    scene = _make_scene(tmp_path, n=2)
+    for mu in ("packed", "plane"):
+        _run(ckpt, scene, tmp_path / f"strict_{mu}", "f32",
+             extra=[f"inference.mask_upload={mu}"])
+    a, b = _images(tmp_path / "strict_packed"), _images(tmp_path / "strict_plane")
+    assert len(a) == len(b) == 2
+    for name in a:
+        assert np.array_equal(a[name], b[name]), name
+
+
+def test_mask_packed_fractional_falls_back(tmp_path):
+    """A fractional mask (public process_large_image API) cannot be packed
+    losslessly — _mask_wire must ship the fp32 plane and preserve the
+    partial composite."""
+    ckpt = _make_ckpt(tmp_path, 3)
+    scene = _make_scene(tmp_path, n=1)
+    eng = _run(ckpt, scene, tmp_path / "frac", "u8")
+    rng = np.random.default_rng(0)
+    frame = (rng.random((96, 128, 3)).astype(np.float32) * 2 - 1)
+    mask = np.zeros((96, 128), np.float32)
+    mask[20:70, 30:100] = 0.5  # half-strength composite
+    wire = eng._mask_wire(mask)
+    assert wire.dtype == np.float32 and wire.shape == (96, 128, 1)
+    out = eng.process_large_image(frame, mask)
+    rgb = np.round(np.clip((frame + 1) * 127.5, 0, 255)).astype(np.uint8)
+    changed = out != rgb
+    assert changed[20:70, 30:100].any()
+    assert not changed[~(mask > 0)].any()
+
+
+def test_mask_upload_knob_strict(tmp_path):
+    ckpt = _make_ckpt(tmp_path, 3)
+    scene = _make_scene(tmp_path, n=1)
+    with pytest.raises(ValueError, match="inference.mask_upload"):
+        _run(ckpt, scene, tmp_path / "x", "u8",
+             extra=["inference.mask_upload=zip"])
