@@ -99,12 +99,16 @@ def bench_inference(frames: int = 30) -> dict:
             np.asarray(out[0][0, 0, 0])
             return time.perf_counter() - t0
 
-        n = max(4, frames // (2 * fpd))
-        # best-of-2: even dispatch-difference windows swing with shared-TPU
-        # host contention
-        compute_fps = max(
-            fpd * n / max(queued(2 * n) - queued(n), 1e-9)
-            for _ in range(2))
+        # The differenced window must DWARF the tiny-fetch sync's noise
+        # (hundreds of ms through a congested tunnel): big n, and the
+        # MEDIAN of several differences — a max-of-differences estimator
+        # inflates unboundedly when one fetch lands fast (r3 recorded a
+        # physically impossible 126 fps that way: 46 us/tile vs the
+        # measured ~97 us/tile generator floor).
+        n = max(8, frames // fpd)
+        compute_fps = float(np.median(
+            [fpd * n / max(queued(2 * n) - queued(n), 1e-9)
+             for _ in range(3)]))
 
         # streaming: every frame fully fetched, concurrent thread-fetches
         # exactly like the engine's drain (6 streams ~2.1x serial tunnel
@@ -197,6 +201,68 @@ def bench_inference(frames: int = 30) -> dict:
           file=sys.stderr)
     results["tiled_masked_streaming"] = round(crop_fps, 3)
     results["tiled_masked_streaming_fullfetch"] = round(full_fps, 3)
+
+    # Upload-INCLUSIVE masked serving — the engine's real wire pattern:
+    # uint8 frame upload + bit-packed mask each dispatch, cropped fetch.
+    # With inference.crop_upload (default) the whole dispatch domain
+    # shrinks to the bucketed tile read-union window, cutting BOTH wire
+    # directions bit-identically (engine.upload_crop_window).
+    from patch_toon_tpu.infer.engine import upload_crop_window
+
+    win = upload_crop_window(boxes2, h, w, ps)
+    assert win is not None, "bench mask unexpectedly maps to no window"
+    wy0, wy1, wx0, wx1 = win
+    bh, bw = wy1 - wy0, wx1 - wx0
+    boxes2c = [(b[0] - wy0, b[1] - wy0, b[2] - wx0, b[3] - wx0)
+               for b in boxes2]
+    fb2c, wts2c, _ = pack_boxes_multi([boxes2c] * fpd2, ps, bucket2)
+    fn2c = make_multiframe_fn(gen, ps, bucket2, fpd2, bh, bw, c,
+                              jnp.bfloat16, compiler_options=xla_opts)
+    hosts = [(rng.random((fpd2, h, w, c)) * 255).astype(np.uint8)
+             for _ in range(3)]
+    hosts_c = [x[:, wy0:wy1, wx0:wx1].copy() for x in hosts]
+    mk_full = jnp.asarray(np.packbits(
+        np.stack([m2.astype(np.uint8)] * fpd2).reshape(fpd2, -1), axis=-1))
+    mk_crop = jnp.asarray(np.packbits(
+        np.stack([m2[wy0:wy1, wx0:wx1].astype(np.uint8)] * fpd2
+                 ).reshape(fpd2, -1), axis=-1))
+    fb2c_j, wts2c_j = jnp.asarray(fb2c), jnp.asarray(wts2c)
+    fb2_j, wts2_j = jnp.asarray(fb2), jnp.asarray(wts2)
+    np.asarray(fn2c(g_vars, jnp.asarray(hosts_c[0]), fb2c_j, wts2c_j,
+                    mk_crop)[0])  # compile
+    np.asarray(fn2(g_vars, jnp.asarray(hosts[0]), fb2_j, wts2_j,
+                   mk_full)[0])  # u8+packed variant of the full program
+
+    def serving_window(cropup: bool) -> float:
+        dispatches = max(1, frames // fpd2)
+        t0 = time.perf_counter()
+        in_flight = []
+        for i in range(dispatches):
+            if cropup:
+                o, _ = fn2c(g_vars, jnp.asarray(hosts_c[i % 3]),
+                            fb2c_j, wts2c_j, mk_crop)
+            else:
+                o, _ = fn2(g_vars, jnp.asarray(hosts[i % 3]),
+                           fb2_j, wts2_j, mk_full)
+                o = o[:, y0:y1, x0:x1]
+            try:
+                o.copy_to_host_async()
+            except Exception:
+                pass
+            in_flight.append(fetch_pool.submit(np.asarray, o))
+            if len(in_flight) > 7:
+                in_flight.pop(0).result()
+        for f in in_flight:
+            f.result()
+        return dispatches * fpd2 / (time.perf_counter() - t0)
+
+    cu_fps = max(serving_window(True) for _ in range(3))
+    ncu_fps = max(serving_window(False) for _ in range(3))
+    print(f"[bench] tiled masked(37%) upload-inclusive: "
+          f"{cu_fps:.1f} fps crop_upload ({bh}x{bw} window), "
+          f"{ncu_fps:.1f} fps full-frame upload", file=sys.stderr)
+    results["tiled_masked_serving_cropupload"] = round(cu_fps, 3)
+    results["tiled_masked_serving_fullupload"] = round(ncu_fps, 3)
     return results
 
 
@@ -278,11 +344,22 @@ def bench_transport(frames: int = 8) -> dict:
         [n * up_mb / max(upload_window(2 * n) - upload_window(n), 1e-9)
          for _ in range(2)]))
 
+    # Bidirectional cap: the tunnel is HALF-duplex in practice (upload
+    # overlap measured a wash, commit 7c041ab), so a streamed frame pays
+    # the D2H fetch AND the H2D upload sequentially on the wire. The
+    # parity workload uploads a uint8 c6 frame + bit-packed mask
+    # (inference.mask_upload=packed) and fetches the uint8 RGB frame:
+    # this cap is what the streaming headline can reach at 100% overlap
+    # of compute under transport — streaming/bidir_cap is the honest
+    # "how close to the wire's ceiling are we" ratio.
+    wire_up_mb = up_mb + h * w / 8 / 1e6  # c6 u8 frame + packed mask
+    bidir_cap = 1.0 / (mb / conc_median + wire_up_mb / h2d_median)
     print(f"[bench] transport: single-stream {single_median:.1f} MB/s "
           f"(best {single_best:.1f}), {K}-stream concurrent "
           f"{conc_median:.1f} MB/s (best {conc_best:.1f}); concurrent cap "
           f"{conc_median / mb:.1f} fps @ {mb:.2f} MB/frame; "
-          f"h2d {h2d_median:.1f} MB/s", file=sys.stderr)
+          f"h2d {h2d_median:.1f} MB/s; bidir cap {bidir_cap:.1f} fps",
+          file=sys.stderr)
     return {
         "transport_MBps": round(single_median, 1),
         "transport_MBps_best": round(single_best, 1),
@@ -290,6 +367,7 @@ def bench_transport(frames: int = 8) -> dict:
         "transport_concurrent6_MBps_best": round(conc_best, 1),
         "transport_cap_fps": round(conc_median / mb, 1),
         "transport_h2d_MBps": round(h2d_median, 1),
+        "transport_bidir_cap_fps": round(bidir_cap, 1),
     }
 
 
@@ -378,9 +456,11 @@ def bench_fullframe(frames: int = 30) -> dict:
         np.asarray(out[0][0, 0, 0])
         return time.perf_counter() - t0
 
-    n = max(4, frames // 2)
-    compute_fps = max(n / max(queued(2 * n) - queued(n), 1e-9)
-                      for _ in range(2))
+    # median-of-differences, big windows: see the tiled section's note —
+    # max-of-differences inflates when one tiny-fetch sync lands fast
+    n = max(8, frames)
+    compute_fps = float(np.median(
+        [n / max(queued(2 * n) - queued(n), 1e-9) for _ in range(3)]))
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -494,10 +574,13 @@ def bench_temporal(frames: int = 16) -> dict:
     chain_window(3, True)  # compile all chain programs + steady state
     chain_window(3, True)
     stream_fps = max(frames / chain_window(frames, True) for _ in range(3))
-    n = max(4, frames // 2)
-    compute_fps = max(n / max(chain_window(2 * n, False)
-                              - chain_window(n, False), 1e-9)
-                      for _ in range(2))
+    # median-of-differences (see the tiled section's note); the chain is
+    # sequential per frame, so the window is already n full prologue+
+    # generator steps — big enough to dwarf the sync noise at n >= 8
+    n = max(8, frames // 2)
+    compute_fps = float(np.median(
+        [n / max(chain_window(2 * n, False)
+                 - chain_window(n, False), 1e-9) for _ in range(3)]))
     print(f"[bench] temporal chain (device flow): streaming "
           f"{stream_fps:.1f} fps, compute-only {compute_fps:.1f} fps",
           file=sys.stderr)
@@ -554,6 +637,26 @@ def main() -> None:
     if pps is not None:
         result["training_patches_per_sec"] = round(pps, 1)
         result["training_vs_reference"] = round(pps / REF_PPS, 1)
+    # Tunnel congestion drifts DURING the run (sections are sequential;
+    # BASELINE.md measured 5-10x day-to-day swings) — a second, short
+    # probe at the end bounds the drift window, so a streaming number
+    # above/below the start-of-run cap is explainable from the JSON alone.
+    try:
+        end = bench_transport(frames=4)
+        result["transport_MBps_end"] = end["transport_concurrent6_MBps"]
+        result["transport_bidir_cap_fps_end"] = end[
+            "transport_bidir_cap_fps"]
+    except Exception as e:
+        print(f"[bench] end transport probe failed: {e}", file=sys.stderr)
+    # how close the streaming headline runs to the wire's own ceiling —
+    # ~1.0 means the pipeline is transport-saturated and only a faster
+    # link (or fewer bytes) can raise the headline; the cap is the MEAN of
+    # the start/end probes when both exist
+    caps = [c for c in (transport.get("transport_bidir_cap_fps"),
+                        result.get("transport_bidir_cap_fps_end")) if c]
+    if caps:
+        result["streaming_vs_transport_cap"] = round(
+            headline / (sum(caps) / len(caps)), 3)
     print(json.dumps(result))
 
 

@@ -452,16 +452,16 @@ def make_pod_multiframe_fn(generator, patch_size: int, bucket: int,
                    compiler_options=compiler_options)
 
 
-def _parse_crop_knob(value) -> bool:
+def _parse_crop_knob(value, knob: str = "crop_readback") -> bool:
     """Strict allow-list (like resolve_xla_options): a typo like 'of' or
     'disable' must raise, not silently enable cropping."""
-    knob = str(value).lower()
-    if knob in ("auto", "on", "true", "1", "yes"):
+    v = str(value).lower()
+    if v in ("auto", "on", "true", "1", "yes"):
         return True
-    if knob in ("off", "false", "0", "no", "none", "disabled"):
+    if v in ("off", "false", "0", "no", "none", "disabled"):
         return False
     raise ValueError(
-        f"inference.crop_readback={value!r}: expected one of "
+        f"inference.{knob}={value!r}: expected one of "
         "auto/on/true/1/yes or off/false/0/no/none/disabled")
 
 
@@ -504,6 +504,48 @@ def compute_crop_bbox(mask_boxes, h: int, w: int,
     if (y1 - y0) * (x1 - x0) >= full_frac * h * w:
         return None  # near-full frame: cropping saves nothing
     return y0, y1, x0, x1
+
+
+def upload_crop_window(boxes, h: int, w: int, ps: int,
+                       bucket: int = 128, full_frac: float = 0.9):
+    """Crop window for UPLOADING a masked tiled frame (crop_upload).
+
+    The tiled program only ever reads the frame inside the tile gather
+    footprint — make_frame_fn's gather reads EXACTLY the ps x ps window
+    centered on each (possibly short) box: rows [y0-hoff, y0-hoff+ps)
+    with hoff = (ps-(y1-y0))//2, same for columns — and the composite can
+    only differ from the input inside the mask support, which the tile
+    union covers. So cropping frame+mask to the read-union window BEFORE
+    upload, running the same program on the small domain (tile boxes
+    shifted by the crop origin), and pasting the output back into the
+    input bytes host-side is BIT-IDENTICAL to the full-frame dispatch:
+    reads beyond the window are zero-pad in both domains (outside the
+    frame) or never happen.
+
+    Window dims bucket up to ``bucket``-multiples (clipped to the frame)
+    so mask drift across a shot reuses one compiled program; the origin
+    slides to keep the window inside the frame. Returns None when the
+    bucketed window covers >= ``full_frac`` of the frame (no saving) or
+    there are no tiles."""
+    if not boxes:
+        return None
+    rd = []
+    for y0b, y1b, x0b, x1b in boxes:
+        hoff = (ps - (y1b - y0b)) // 2
+        woff = (ps - (x1b - x0b)) // 2
+        rd.append((y0b - hoff, y0b - hoff + ps,
+                   x0b - woff, x0b - woff + ps))
+    uy0 = max(0, min(r[0] for r in rd))
+    uy1 = min(h, max(r[1] for r in rd))
+    ux0 = max(0, min(r[2] for r in rd))
+    ux1 = min(w, max(r[3] for r in rd))
+    bh = min(h, -(-(uy1 - uy0) // bucket) * bucket)
+    bw = min(w, -(-(ux1 - ux0) // bucket) * bucket)
+    if bh * bw >= full_frac * h * w:
+        return None
+    y0 = max(0, min(uy0, h - bh))
+    x0 = max(0, min(ux0, w - bw))
+    return y0, y0 + bh, x0, x0 + bw
 
 
 class StyleTransferInference:
@@ -557,6 +599,16 @@ class StyleTransferInference:
         # slow/congested transports when the mask covers part of the frame.
         self.crop_readback = _parse_crop_knob(
             inf.get("crop_readback", "auto"))
+        # inference.crop_upload: crop frame+mask to the (bucketed) tile
+        # read-union window BEFORE upload in masked tiled runs — cuts BOTH
+        # wire directions, bit-identically (see upload_crop_window).
+        # "auto" (default) follows crop_readback, so crop_readback=off
+        # still means full frames end-to-end; "on" forces it regardless.
+        cu_raw = str(inf.get("crop_upload", "auto")).lower()
+        if cu_raw == "auto":
+            self.crop_upload = self.crop_readback
+        else:
+            self.crop_upload = _parse_crop_knob(cu_raw, knob="crop_upload")
         # concurrent D2H fetch streams: the axon tunnel (and remote
         # transports generally) multiplex — 6 thread-fetches measured 2.1x
         # one serial fetch's bandwidth, saturating near 6-8 streams
@@ -1079,6 +1131,12 @@ class StyleTransferInference:
             self.logger.info(f"File shard {idx}/{n}")
         self.logger.info(f"Found {len(files)} images to process")
 
+        # crop_upload applies to masked tiled streaming only: fullframe
+        # needs the whole frame (per-frame IN statistics), the temporal
+        # chain warps full frames
+        crop_up = (self.crop_upload and self.mode != "fullframe"
+                   and not self.temporal_enabled)
+
         def load_one(input_path: Path):
             frame, rgb_u8 = self._load_frame(str(input_path),
                                              with_rgb_u8=True)
@@ -1090,6 +1148,24 @@ class StyleTransferInference:
             # itself. Computed here so the scans ride the prefetch
             # threads; maskless frames stylize everywhere (None).
             mbox = mask_support_bbox(mask) if mask is not None else None
+            boxes = tile_boxes_from_mask(
+                mask if mask is not None
+                else np.ones(frame.shape[:2], np.float32),
+                self.patch_size, self.overlap_percent)
+            cropwin = None
+            if crop_up and mask is not None:
+                cropwin = upload_crop_window(boxes, *frame.shape[:2],
+                                             self.patch_size)
+            if cropwin is not None:
+                # crop frame+mask to the window BEFORE upload and shift
+                # the tile boxes into window coordinates — bit-identical
+                # to the full-frame dispatch (see upload_crop_window);
+                # rgb_u8 stays full for the host-side paste
+                y0, y1, x0, x1 = cropwin
+                frame = frame[y0:y1, x0:x1]
+                mask = mask[y0:y1, x0:x1]
+                boxes = [(b[0] - y0, b[1] - y0, b[2] - x0, b[3] - x0)
+                         for b in boxes]
             if self.devices == 1:
                 # upload from the prefetch thread: H2D overlaps the main
                 # loop's compute + readback instead of serializing in
@@ -1097,7 +1173,7 @@ class StyleTransferInference:
                 # constrained links — tools/ab_upload.py). Pod runs keep
                 # host arrays: their upload targets a device_put sharding.
                 frame = jax.device_put(frame)
-            return frame, mask, rgb_u8, mbox
+            return frame, mask, rgb_u8, mbox, boxes, cropwin
 
         # (fetch Future, per-frame tile boxes, save paths, crop info)
         in_flight: List[Tuple[Any, List[List[Box]], List[Path], Any]] = []
@@ -1130,7 +1206,8 @@ class StyleTransferInference:
                     f"readback failed for [{names}]: {e}") from e
             for k, save_path in enumerate(save_paths):
                 if crop is not None:
-                    (y0, y1, x0, x1), rgb_u8s = crop
+                    bboxes, rgb_u8s = crop  # per-frame paste windows
+                    y0, y1, x0, x1 = bboxes[k]
                     img = rgb_u8s[k].copy()
                     img[y0:y1, x0:x1] = arr[k]
                 else:
@@ -1158,13 +1235,27 @@ class StyleTransferInference:
                 out = u8[None]
             else:
                 out = self._stylize_group(frames, masks, group_boxes)
-            crop = None
-            bbox = crop_bbox([g[5] for g in group], *frames[0].shape[:2])
-            self._last_crop = bbox  # introspection/tests
-            if bbox is not None:
-                y0, y1, x0, x1 = bbox
-                out = out[:, y0:y1, x0:x1]
-                crop = (bbox, [g[4] for g in group])
+            cropwins = [g[6] for g in group]
+            if cropwins[0] is not None:
+                # upload-cropped group: the program already ran on the
+                # window, so the whole (small) output ships and pastes at
+                # each frame's own window origin. Debug overlays need the
+                # tile boxes back in full-frame coordinates.
+                crop = (cropwins, [g[4] for g in group])
+                self._last_crop = cropwins[0]  # introspection/tests
+                group_boxes = [
+                    [(b[0] + cw[0], b[1] + cw[0], b[2] + cw[2], b[3] + cw[2])
+                     for b in bx]
+                    for bx, cw in zip(group_boxes, cropwins)]
+            else:
+                crop = None
+                bbox = crop_bbox([g[5] for g in group],
+                                 *frames[0].shape[:2])
+                self._last_crop = bbox  # introspection/tests
+                if bbox is not None:
+                    y0, y1, x0, x1 = bbox
+                    out = out[:, y0:y1, x0:x1]
+                    crop = ([bbox] * len(group), [g[4] for g in group])
             try:
                 out.copy_to_host_async()
             except Exception:
@@ -1180,6 +1271,25 @@ class StyleTransferInference:
                     # a deferred device error belongs to the DRAINED group
                     # (already popped), not the group just dispatched
                     self.logger.error(f"Readback failed for a group: {e}")
+
+        group: List[Any] = []
+
+        def flush_group():
+            # hand off and CLEAR before dispatching: a failed dispatch
+            # must drop its group, not poison every later one (per-file
+            # resilience, generator.py:700)
+            nonlocal group
+            if not group:
+                return
+            g, group = group, []
+            try:
+                dispatch_group(g)
+            except Exception as e:
+                # a failed dispatch drops EVERY frame in the group —
+                # name them all, not just the one that tripped it
+                names = ", ".join(x[3].name for x in g)
+                self.logger.error(
+                    f"Dispatch failed; dropping group [{names}]: {e}")
 
         # frames-per-dispatch: co-batch frames so the pow2 tile bucket stays
         # full (tiling.frames_per_dispatch); 'auto' decides from frame 0
@@ -1200,7 +1310,6 @@ class StyleTransferInference:
                 group_size = None  # D * frames_per_dispatch, set below
 
         PREFETCH = 6  # bound decoded-frame memory to O(PREFETCH)
-        group = []
         with ThreadPoolExecutor(max_workers=2) as pool:
             futures = {}
             for p in files[:PREFETCH]:
@@ -1212,12 +1321,10 @@ class StyleTransferInference:
                     nxt = files[i + PREFETCH]
                     futures[nxt] = pool.submit(load_one, nxt)
                 try:
-                    frame, mask, rgb_u8, mbox = \
+                    frame, mask, rgb_u8, mbox, boxes, cropwin = \
                         futures.pop(input_path).result()
                     eff_mask = mask if mask is not None else np.ones(
                         frame.shape[:2], np.float32)
-                    boxes = tile_boxes_from_mask(
-                        eff_mask, self.patch_size, self.overlap_percent)
                     if group_size is None:
                         fpd = frames_per_dispatch(max(1, len(boxes)))
                         if fpd_cfg != "auto":
@@ -1234,33 +1341,22 @@ class StyleTransferInference:
                             self.logger.info(
                                 f"Co-batching {group_size} frames/dispatch "
                                 f"(~{len(boxes)} tiles/frame)")
+                    # a co-batched dispatch needs every frame in the
+                    # group at ONE shape: upload-cropped windows bucket to
+                    # 128-multiples so a stable mask reuses one shape, but
+                    # when the window (or a maskless frame) changes shape,
+                    # flush the in-progress group first
+                    if group and group[0][0].shape != frame.shape:
+                        flush_group()
                     group.append((frame, eff_mask, boxes, input_path,
-                                  rgb_u8, mbox))
+                                  rgb_u8, mbox, cropwin))
                 except Exception as e:
                     self.logger.error(
                         f"Failed to process {input_path.name}: {e}")
                     continue
                 if len(group) >= group_size:
-                    # hand off and CLEAR before dispatching: a failed
-                    # dispatch must drop its group, not poison every
-                    # later one (per-file resilience, generator.py:700)
-                    g, group = group, []
-                    try:
-                        dispatch_group(g)
-                    except Exception as e:
-                        # a failed dispatch drops EVERY frame in the group
-                        # — name them all, not just the one that tripped it
-                        names = ", ".join(x[3].name for x in g)
-                        self.logger.error(
-                            f"Dispatch failed; dropping group "
-                            f"[{names}]: {e}")
-            try:
-                if group:
-                    dispatch_group(group)
-            except Exception as e:
-                names = ", ".join(x[3].name for x in group)
-                self.logger.error(
-                    f"Dispatch failed; dropping group [{names}]: {e}")
+                    flush_group()
+            flush_group()
             while in_flight:
                 # deferred device errors surface at the tail fetch; drop
                 # only the group whose fetch failed and keep draining the
@@ -1535,7 +1631,7 @@ class StyleTransferInference:
                 # can't leak the (multi-MB) flow entry in flow_futures
                 frame_f = futures.pop(i)
                 flow_f = flow_futures.pop(i)
-                frame, mask, rgb_u8, mbox = frame_f.result()
+                frame, mask, rgb_u8, mbox, _boxes, _cw = frame_f.result()
                 aux = flow_f.result()  # flow .npy | raw flow mask | None
                 # one fused dispatch builds the generator input: on-device
                 # normalization of the (possibly uint8) frame + warp of the

@@ -570,3 +570,128 @@ def test_watch_mode_gives_up_on_bad_frame(tmp_path):
     assert (tmp_path / "styl" / "000.png").exists()  # good frame served
     assert not (tmp_path / "styl" / "001.png").exists()  # bad one dropped
     assert time.time() - t0 < 175
+
+
+def _crop_upload_setup(tmp_path, h=160, w=256, n=3, moving=False):
+    """Scene + tiny checkpoint for the crop-upload tests."""
+    from patch_toon_tpu.train import StyleTransferModel
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+    rng = np.random.default_rng(7)
+    scene = tmp_path / "scene"
+    for sub in ("input", "mask"):
+        (scene / sub).mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        mask = np.zeros((h, w), np.uint8)
+        dx = 16 * i if moving else 0
+        mask[40:80, 64 + dx:128 + dx] = 255
+        Image.fromarray(img).save(scene / "input" / f"{i:03d}.png")
+        Image.fromarray(mask).save(scene / "mask" / f"{i:03d}.png")
+    g_args = dict(input_channels=3, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=1,
+                  filters=[4, 8, 8, 8, 8, 4], norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=16, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    CheckpointManager(
+        tmp_path / "ckpt",
+        meta={"input_channels": 3, "generator_args": g_args,
+              "patch_size": 16},
+    ).save(state, epoch=0, score=1.0)
+    return scene
+
+
+def _run_crop_upload(tmp_path, scene, tag, overrides):
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    icfg = compose(root / "config", "inference", overrides=[
+        f"paths.checkpoint={tmp_path}/ckpt/last",
+        f"paths.input_dir={scene}/input",
+        f"paths.mask_dir={scene}/mask",
+        f"paths.output_dir={tmp_path}/styl_{tag}",
+        "paths.additional_channels={}",
+        "data.patch_size=16", "inference.use_gpu=false",
+        "inference.precision=32",
+        *overrides,
+    ])
+    eng = StyleTransferInference(icfg)
+    eng.process_directory()
+    return eng
+
+
+@pytest.mark.parametrize("extra", [[], ["inference.devices=8"]])
+def test_crop_upload_byte_identical(tmp_path, extra):
+    """crop_upload crops frame+mask to the bucketed tile read-union window
+    BEFORE upload and runs the program on the window — outputs must be
+    byte-identical to the full-frame dispatch (single-host and pod)."""
+    scene = _crop_upload_setup(tmp_path)
+    tagbase = f"d{len(extra)}"
+    engines = {}
+    for cu in ("auto", "off"):
+        engines[cu] = _run_crop_upload(
+            tmp_path, scene, f"{tagbase}_{cu}",
+            [f"inference.crop_upload={cu}",
+             *([] if cu == "auto" else ["inference.crop_readback=off"]),
+             *extra])
+    # the window engaged, and it is SMALLER than the frame
+    win = engines["auto"]._last_crop
+    assert win is not None
+    y0, y1, x0, x1 = win
+    assert (y1 - y0) * (x1 - x0) < 160 * 256
+    a = sorted((tmp_path / f"styl_{tagbase}_auto").glob("*.png"))
+    b = sorted((tmp_path / f"styl_{tagbase}_off").glob("*.png"))
+    assert len(a) == len(b) == 3
+    for pa, pb in zip(a, b):
+        assert np.array_equal(np.asarray(Image.open(pa)),
+                              np.asarray(Image.open(pb))), pa.name
+
+
+def test_crop_upload_moving_mask_flushes_groups(tmp_path):
+    """A mask that drifts across frames may change the bucketed window
+    ORIGIN (same shape: no recompile, groups co-batch) — and a shape
+    change flushes the in-progress group instead of mixing shapes.
+    Outputs stay byte-identical to the uncropped run either way."""
+    scene = _crop_upload_setup(tmp_path, n=4, moving=True)
+    for cu in ("auto", "off"):
+        _run_crop_upload(
+            tmp_path, scene, f"mv_{cu}",
+            [f"inference.crop_upload={cu}",
+             *([] if cu == "auto" else ["inference.crop_readback=off"]),
+             "+inference.frames_per_dispatch=2"])
+    a = sorted((tmp_path / "styl_mv_auto").glob("*.png"))
+    b = sorted((tmp_path / "styl_mv_off").glob("*.png"))
+    assert len(a) == len(b) == 4
+    for pa, pb in zip(a, b):
+        assert np.array_equal(np.asarray(Image.open(pa)),
+                              np.asarray(Image.open(pb))), pa.name
+
+
+def test_crop_upload_window_covers_all_reads():
+    """upload_crop_window must cover the exact gather read union (centered
+    short boxes included) so the cropped dispatch is bit-identical."""
+    from patch_toon_tpu.infer.engine import upload_crop_window
+
+    ps = 16
+    # a short 4x6 box at (40, 64): gather reads the centered 16x16 window
+    boxes = [(40, 44, 64, 70)]
+    win = upload_crop_window(boxes, 160, 256, ps, bucket=8, full_frac=1.0)
+    y0, y1, x0, x1 = win
+    hoff = (ps - 4) // 2
+    woff = (ps - 6) // 2
+    assert y0 <= 40 - hoff and y1 >= 40 - hoff + ps
+    assert x0 <= 64 - woff and x1 >= 64 - woff + ps
+    # empty box list / near-full coverage -> no crop
+    assert upload_crop_window([], 160, 256, ps) is None
+    full = [(y, y + ps, x, x + ps)
+            for y in range(0, 160, ps) for x in range(0, 256, ps)]
+    assert upload_crop_window(full, 160, 256, ps) is None
