@@ -129,6 +129,10 @@ def _temporal_device_flow(frame, prev_gray, fmask, scale: int = 1):
     flow = dense_flow(gray.astype(jnp.float32) / 255.0,
                       prev_gray.astype(jnp.float32) / 255.0, scale=scale)
     if fmask is not None:
+        if fmask.ndim == 1:  # bit-packed wire form (load_flow_mask)
+            fmask = jnp.unpackbits(
+                fmask, count=gray.shape[0] * gray.shape[1]
+            ).reshape(gray.shape)
         flow = flow * (fmask.astype(jnp.float32) > 0.5)[..., None]
     return flow, gray
 
@@ -1562,6 +1566,10 @@ class StyleTransferInference:
             if not os.path.exists(resolved):
                 return None
             arr = np.asarray(Image.open(resolved).convert("L"))
+            if self.mask_packed:
+                # bit-packed wire form: 8x fewer bytes on the chain's
+                # sequential critical path (_temporal_device_flow unpacks)
+                return np.packbits(arr > 127)
             return (arr > 127).astype(np.uint8)
 
         def load_aux(p: Path):

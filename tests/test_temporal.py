@@ -585,3 +585,23 @@ def test_temporal_watch_chain_persists(temporal_scene, tmp_path):
         a = np.asarray(Image.open(tmp_path / "wout" / f"{i:03d}.png"))
         b = np.asarray(Image.open(tmp_path / "ref" / f"{i:03d}.png"))
         np.testing.assert_array_equal(a, b, err_msg=f"{i:03d}.png")
+
+
+def test_device_flow_packed_mask_identical():
+    """The bit-packed flow-mask wire form (mask_upload=packed riding the
+    temporal chain) unpacks on device to the exact dense-mask result."""
+    from patch_toon_tpu.infer.engine import _temporal_device_flow
+    from patch_toon_tpu.ops.flow import pil_gray
+
+    rng = np.random.default_rng(9)
+    base = (rng.random((48, 72, 3)) * 255).astype(np.uint8)
+    cur = np.roll(base, 2, axis=1)
+    m = np.zeros((48, 72), np.uint8)
+    m[10:40, 16:60] = 1
+    g0 = pil_gray(jnp.asarray(base))
+    dense, _ = _temporal_device_flow(
+        jnp.asarray(cur), g0, jnp.asarray(m), 1)
+    packed, _ = _temporal_device_flow(
+        jnp.asarray(cur), g0, jnp.asarray(np.packbits(m > 0)), 1)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(packed))
+    assert np.asarray(dense)[m == 0].max() == 0
