@@ -650,10 +650,16 @@ def main() -> None:
         print(f"[bench] end transport probe failed: {e}", file=sys.stderr)
     # how close the streaming headline runs to the wire's own ceiling —
     # ~1.0 means the pipeline is transport-saturated and only a faster
-    # link (or fewer bytes) can raise the headline; the cap is the MEAN of
-    # the start/end probes when both exist
-    caps = [c for c in (transport.get("transport_bidir_cap_fps"),
-                        result.get("transport_bidir_cap_fps_end")) if c]
+    # link (or fewer bytes) can raise the headline. The headline's wire
+    # pattern is the D2H fetch (frames are device-resident when timed),
+    # so the matching cap is transport_cap_fps (the bidir cap is the
+    # comparator for the upload-INCLUSIVE tiled_masked_serving_* rows);
+    # mean of the start/end probes when both exist.
+    caps = [transport.get("transport_cap_fps")]
+    end_conc = result.get("transport_MBps_end")
+    if end_conc:
+        caps.append(end_conc / (512 * 910 * 3 / 1e6))  # probe frame MB
+    caps = [c for c in caps if c]
     if caps:
         result["streaming_vs_transport_cap"] = round(
             headline / (sum(caps) / len(caps)), 3)
