@@ -543,7 +543,7 @@ def bench_temporal(frames: int = 16) -> dict:
                for _ in range(3)]
     fetch_pool = ThreadPoolExecutor(max_workers=4)
 
-    def chain_window(n: int, fetch_all: bool) -> float:
+    def chain_window(n: int, fetch_all: bool, flow_scale: int = 1) -> float:
         prev = prev_gray = None
         in_flight = []
         t0 = time.perf_counter()
@@ -553,7 +553,8 @@ def bench_temporal(frames: int = 16) -> dict:
                 full = _temporal_prep(fdev, None, None, 3)
                 gray = _device_gray(fdev)
             else:
-                flow, gray = _temporal_device_flow(fdev, prev_gray, fmask_j)
+                flow, gray = _temporal_device_flow(fdev, prev_gray, fmask_j,
+                                                   flow_scale)
                 full = _temporal_prep(fdev, prev, flow, 3)
             u8, outf = fn(g_vars, full[None], fb_j, wts_j, mask_j)
             prev, prev_gray = outf[0], gray
@@ -581,10 +582,15 @@ def bench_temporal(frames: int = 16) -> dict:
     compute_fps = float(np.median(
         [n / max(chain_window(2 * n, False)
                  - chain_window(n, False), 1e-9) for _ in range(3)]))
+    # flow_scale=2 (inference.temporal.flow_scale): LK on a half-res
+    # pyramid, displacements upsampled — the knob-gated cheaper flow
+    chain_window(3, True, 2)  # compile the scaled-flow program
+    fs2_fps = max(frames / chain_window(frames, True, 2) for _ in range(3))
     print(f"[bench] temporal chain (device flow): streaming "
-          f"{stream_fps:.1f} fps, compute-only {compute_fps:.1f} fps",
-          file=sys.stderr)
+          f"{stream_fps:.1f} fps ({fs2_fps:.1f} at flow_scale=2), "
+          f"compute-only {compute_fps:.1f} fps", file=sys.stderr)
     return {"temporal_device_streaming": round(stream_fps, 3),
+            "temporal_device_streaming_fs2": round(fs2_fps, 3),
             "temporal_device_compute_only": round(compute_fps, 3)}
 
 
