@@ -835,9 +835,12 @@ class StyleTransferInference:
         return np.asarray(u8)
 
     def _load_frame(self, input_path: str,
-                    with_rgb_u8: bool = False) -> Any:
+                    with_rgb_u8: bool = False,
+                    channels: Optional[dict] = None) -> Any:
         from patch_toon_tpu.data.io import _decode_rgb_uint8
 
+        if channels is None:
+            channels = self.additional_channels
         rgb_u8 = _decode_rgb_uint8(input_path)
         # upload_u8: keep every channel in its decoded uint8 form — all
         # guide channels are 8-bit sources with the same /255*2-1
@@ -845,7 +848,7 @@ class StyleTransferInference:
         # inference programs now apply on-device (_to_signed_unit)
         parts = [rgb_u8 if self.upload_u8
                  else rgb_u8.astype(np.float32) / 255.0 * 2.0 - 1.0]
-        for name, ccfg in self.additional_channels.items():
+        for name, ccfg in channels.items():
             cpath = find_corresponding_image(ccfg["path"], input_path)
             if not os.path.exists(cpath):
                 raise FileNotFoundError(
@@ -1099,6 +1102,18 @@ class StyleTransferInference:
             raise FileNotFoundError(f"Mask directory not found: {mask_dir}")
         output_dir.mkdir(parents=True, exist_ok=True)
 
+        # Multi-stream temporal serving: a subdirectory-per-video layout
+        # serves N independent warp chains on one chip, co-batching the
+        # generator dispatch ACROSS streams (a single chain is sequential
+        # and can't co-batch its own frames). One-shot runs only — watch
+        # mode polls flat directories.
+        if files is None and self.temporal_enabled:
+            streams = self._detect_streams(input_dir)
+            if streams:
+                return self._process_multistream(
+                    streams, input_dir, mask_dir, output_dir,
+                    progress=progress)
+
         explicit_files = files is not None
         if files is None:
             files = sorted(input_dir.glob("*.[pj][np][g]"))
@@ -1238,7 +1253,7 @@ class StyleTransferInference:
                                                 boxes=group_boxes[0])
                 out = u8[None]
             else:
-                out = self._stylize_group(frames, masks, group_boxes)
+                out, _ = self._stylize_group(frames, masks, group_boxes)
             cropwins = [g[6] for g in group]
             if cropwins[0] is not None:
                 # upload-cropped group: the program already ran on the
@@ -1454,7 +1469,9 @@ class StyleTransferInference:
         return u8.reshape(total, h, w, 3)[:n_real]
 
     def _stylize_group(self, frames, masks, group_boxes):
-        """Dispatch a co-batched group through the multiframe tiled program."""
+        """Dispatch a co-batched group through the multiframe tiled
+        program; returns (u8 batch, composite float batch — the latter
+        feeds multi-stream temporal chains)."""
         from patch_toon_tpu.infer.tiling import pack_boxes_multi
 
         f = len(frames)
@@ -1470,11 +1487,11 @@ class StyleTransferInference:
                 self.dtype, compiler_options=self.xla_options)
         # jnp.stack, not np.stack: frames may be device-resident already
         # (prefetch-thread upload) — np.stack would force a D2H round trip
-        u8, _ = self._frame_fns[key](
+        u8, out_float = self._frame_fns[key](
             self.g_vars, jnp.stack(frames),
             jnp.asarray(fboxes), jnp.asarray(weights),
             jnp.asarray(self._mask_wire(np.stack(masks))))
-        return u8
+        return u8, out_float
 
     def _temporal_register(self, name: str) -> None:
         """Mark a frame as a member of the temporal stream (idempotent)."""
@@ -1710,3 +1727,243 @@ class StyleTransferInference:
         self._temporal_prev_gray = prev_gray
         pool.shutdown(wait=False)
         fetch_pool.shutdown(wait=False)
+
+    def _detect_streams(self, input_dir: Path) -> List[str]:
+        """Subdirectory-per-video layout for multi-stream temporal serving:
+        input_dir holds no images itself but >= 1 subdirectory that does."""
+        if sorted(input_dir.glob("*.[pj][np][g]")):
+            return []
+        return sorted(
+            d.name for d in input_dir.iterdir()
+            if d.is_dir() and sorted(d.glob("*.[pj][np][g]")))
+
+    def _process_multistream(self, streams, input_dir: Path,
+                             mask_dir: Path, output_dir: Path,
+                             progress: bool = True) -> None:
+        """Serve N independent videos (one subdirectory each) as
+        interleaved temporal chains on ONE chip.
+
+        A single warp chain is inherently sequential — frame i needs frame
+        i-1's stylized output — so one stream can't co-batch its own frames
+        (the 512p tile bucket runs 170/256 = 66% full) and its readback
+        gaps leave the wire idle. N streams break both limits: each cycle
+        takes the next frame from every live stream, runs the per-stream
+        prologue (on-device flow + fused warp/concat — exactly the
+        single-stream dispatches), then stylizes ALL streams' frames in ONE
+        co-batched multiframe dispatch (the same program family as
+        frames_per_dispatch co-batching) while every stream's uint8
+        readback drains concurrently. Chains never mix: stream k's guide
+        warps stream k's own previous output (byte-parity vs N separate
+        single-stream runs: tests/test_temporal.py::test_multistream_*).
+
+        Layout: paths.input_dir/<stream>/*.png, masks at
+        paths.mask_dir/<stream>/, guide channels at <channel.path>/
+        <stream>/, flows (flow_source=files) at temporal.flow_dir/
+        <stream>/; outputs land in paths.output_dir/<stream>/. All streams
+        must share one resolution (one compiled program serves every
+        cycle). Multi-host runs shard whole STREAMS round-robin per
+        process (chains are per-stream state, so hosts need no
+        communication).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from PIL import Image
+        from tqdm import tqdm
+
+        from patch_toon_tpu.native import FrameWriter
+
+        if self.devices != 1:
+            raise ValueError(
+                "multi-stream temporal serving is per-chip (inference."
+                "devices=1); run one process per chip and shard streams")
+        if jax.process_count() > 1:
+            streams = streams[jax.process_index()::jax.process_count()]
+            self.logger.info(
+                f"Multi-host: this process serves streams {streams}")
+        device_flow = self.temporal_flow_source == "device"
+        flow_root = Path(self.temporal_flow_dir) \
+            if self.temporal_flow_dir else None
+
+        infos = []
+        for s in streams:
+            files = sorted((input_dir / s).glob("*.[pj][np][g]"))
+            chans = {n: dict(c, path=str(Path(c["path"]) / s))
+                     for n, c in self.additional_channels.items()}
+            mdir = mask_dir / s
+            if not mask_dir.name.endswith("ignore") and not mdir.exists():
+                raise FileNotFoundError(
+                    f"Mask directory not found: {mdir}")
+            (output_dir / s).mkdir(parents=True, exist_ok=True)
+            infos.append(dict(
+                name=s, files=files, chans=chans, mdir=mdir,
+                fdir=(flow_root / s) if flow_root else None,
+                prev=None, prev_gray=None, idx=0))
+        total = sum(len(i["files"]) for i in infos)
+        self.logger.info(
+            f"Multi-stream temporal serving: {len(infos)} streams, "
+            f"{total} frames, co-batched {len(infos)} frames/dispatch")
+
+        writer = FrameWriter(num_threads=2)
+        load_pool = ThreadPoolExecutor(max_workers=2)
+        fetch_pool = ThreadPoolExecutor(
+            max_workers=max(4, min(8, self.readback_streams)))
+
+        def load_frame(info, i):
+            p = info["files"][i]
+            frame, rgb_u8 = self._load_frame(
+                str(p), with_rgb_u8=True, channels=info["chans"])
+            mask = None
+            if not mask_dir.name.endswith("ignore"):
+                mask = self._load_eroded_mask(
+                    str(info["mdir"] / p.name), frame.shape[:2])
+            mbox = mask_support_bbox(mask) if mask is not None else None
+            if device_flow:
+                # raw flow mask, the TOOL's semantics (> 127); missing ->
+                # unmasked flow — mirrors the single-stream load_flow_mask
+                aux = None
+                resolved = find_corresponding_image(str(info["mdir"]),
+                                                    p.name)
+                if os.path.exists(resolved):
+                    arr = np.asarray(Image.open(resolved).convert("L"))
+                    aux = np.packbits(arr > 127) if self.mask_packed \
+                        else (arr > 127).astype(np.uint8)
+            else:
+                # flow files are indexed by POSITION in the stream
+                aux = None
+                if info["fdir"] is not None:
+                    fp = info["fdir"] / f"{self.temporal_format % i}.npy"
+                    if fp.exists():
+                        aux = np.load(str(fp))
+                        if self.temporal_flow_f16 and \
+                                aux.dtype != np.float16:
+                            aux = aux.astype(np.float16)
+            return frame, mask, rgb_u8, mbox, aux, p.name
+
+        def submit_loads():
+            return [(info, load_pool.submit(load_frame, info, info["idx"]))
+                    for info in infos if info["idx"] < len(info["files"])]
+
+        pending = []  # (fetch future, save path, crop, boxes)
+
+        def drain_one():
+            fut, save_path, crop, boxes = pending.pop(0)
+            try:
+                arr = fut.result()
+            except Exception as e:
+                self.logger.error(f"Readback failed for "
+                                  f"{Path(save_path).name}: {e}")
+                return
+            if crop is not None:
+                (y0, y1, x0, x1), rgb_u8 = crop
+                img = rgb_u8.copy()
+                img[y0:y1, x0:x1] = arr
+            else:
+                img = arr
+            writer.submit(str(save_path), img)
+            if self.debug_mode:
+                self.patch_positions = boxes
+                self._save_debug_overlay(img, str(save_path))
+
+        bar = tqdm(total=total, desc="Temporal frames (multi-stream)",
+                   disable=not progress)
+        subs = submit_loads()
+        shape0 = None
+        while subs:
+            for info, _ in subs:
+                info["idx"] += 1
+            next_subs = submit_loads()  # next cycle rides the load pool
+            batch = []
+            for info, fut in subs:
+                try:
+                    frame, mask, rgb_u8, mbox, aux, fname = fut.result()
+                    if shape0 is None:
+                        shape0 = frame.shape
+                    elif frame.shape != shape0:
+                        raise ValueError(
+                            f"stream {info['name']} is "
+                            f"{frame.shape[:2]}, others {shape0[:2]} — "
+                            "all streams must share one resolution")
+                    fdev = jnp.asarray(frame)
+                    if device_flow:
+                        if info["prev"] is not None and \
+                                info["prev_gray"] is not None:
+                            fmask = None if aux is None else \
+                                jnp.asarray(aux)
+                            flow_in, gray = _temporal_device_flow(
+                                fdev, info["prev_gray"], fmask,
+                                self.temporal_flow_scale)
+                            prev_in = info["prev"]
+                        else:
+                            gray = _device_gray(fdev)
+                            prev_in, flow_in = None, None  # bootstrap
+                    else:
+                        gray = None
+                        if info["prev"] is None or info["fdir"] is None:
+                            prev_in, flow_in = None, None
+                        elif aux is not None:
+                            prev_in, flow_in = info["prev"], \
+                                jnp.asarray(aux)
+                        else:
+                            self.logger.warning(
+                                f"No flow for {info['name']}/{fname}; "
+                                f"using unwarped previous output")
+                            prev_in, flow_in = info["prev"], None
+                    full = _temporal_prep(fdev, prev_in, flow_in,
+                                          self.temporal_depth)
+                    eff = mask if mask is not None else np.ones(
+                        frame.shape[:2], np.float32)
+                    boxes = tile_boxes_from_mask(
+                        eff, self.patch_size, self.overlap_percent)
+                    batch.append((info, full, eff, boxes, rgb_u8, mbox,
+                                  gray, fname))
+                except Exception as e:
+                    self.logger.error(
+                        f"Failed to process {info['name']} frame: {e}")
+                    info["prev"] = info["prev_gray"] = None  # restart
+            if batch:
+                if len(batch) == 1:
+                    _i, full, eff, boxes, *_ = batch[0]
+                    u8b, outf, _ = self._stylize_device(full, eff,
+                                                        boxes=boxes)
+                    u8s, outs = [u8b], [outf]
+                else:
+                    u8b, outb = self._stylize_group(
+                        [b[1] for b in batch], [b[2] for b in batch],
+                        [b[3] for b in batch])
+                    u8s = [u8b[k] for k in range(len(batch))]
+                    outs = [outb[k] for k in range(len(batch))]
+                for k, (info, full, eff, boxes, rgb_u8, mbox, gray,
+                        fname) in enumerate(batch):
+                    info["prev"] = outs[k]
+                    if device_flow:
+                        info["prev_gray"] = gray
+                    u8 = u8s[k]
+                    crop = None
+                    if self.crop_readback and mbox is not None:
+                        bbox = compute_crop_bbox([mbox], *shape0[:2])
+                        if bbox is not None:
+                            y0, y1, x0, x1 = bbox
+                            u8 = u8[y0:y1, x0:x1]
+                            crop = (bbox, rgb_u8)
+                    try:
+                        u8.copy_to_host_async()
+                    except Exception:
+                        pass
+                    pending.append((
+                        fetch_pool.submit(np.asarray, u8),
+                        output_dir / info["name"] / fname, crop, boxes))
+                    bar.update(1)
+                # keep enough fetches in flight to multiplex the wire,
+                # drain the rest so memory stays bounded
+                while len(pending) > self.readback_streams + len(infos):
+                    drain_one()
+            subs = next_subs
+        while pending:
+            drain_one()
+        bar.close()
+        load_pool.shutdown(wait=False)
+        fetch_pool.shutdown(wait=False)
+        failed = writer.flush()
+        writer.close()
+        if failed:
+            self.logger.error(f"{failed} frame writes failed")

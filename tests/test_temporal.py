@@ -605,3 +605,145 @@ def test_device_flow_packed_mask_identical():
         jnp.asarray(cur), g0, jnp.asarray(np.packbits(m > 0)), 1)
     np.testing.assert_array_equal(np.asarray(dense), np.asarray(packed))
     assert np.asarray(dense)[m == 0].max() == 0
+
+
+def _ckpt6(tmp_path):
+    """Random-weight 6-channel temporal checkpoint (shared helper)."""
+    from patch_toon_tpu.train import StyleTransferModel
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+    g_args = dict(input_channels=6, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=1,
+                  filters=[4, 8, 8, 8, 8, 4], norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=16, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    CheckpointManager(
+        tmp_path / "ckpt",
+        meta={"input_channels": 6, "generator_args": g_args,
+              "patch_size": 16},
+    ).save(state, epoch=0, score=1.0)
+    return tmp_path / "ckpt" / "last"
+
+
+def _stream_scene(root, name, seed, n=4, h=48, w=64):
+    """One moving-square stream under root/input/<name>, root/mask/<name>."""
+    rng = np.random.default_rng(seed)
+    (root / "input" / name).mkdir(parents=True, exist_ok=True)
+    (root / "mask" / name).mkdir(parents=True, exist_ok=True)
+    bg = (rng.random((h, w, 3)) * 160).astype(np.uint8)
+    for i in range(n):
+        frame = bg.copy()
+        x0 = 4 + 4 * i
+        frame[12:28, x0:x0 + 12] = (rng.random(3) * 100 + 155).astype(
+            np.uint8)
+        Image.fromarray(frame).save(root / "input" / name / f"{i:03d}.png")
+        mask = np.zeros((h, w), np.uint8)
+        mask[4:44, 4:60] = 255
+        Image.fromarray(mask).save(root / "mask" / name / f"{i:03d}.jpg")
+
+
+def test_multistream_temporal_matches_single_stream(tmp_path):
+    """Multi-stream temporal serving (subdirectory-per-video, co-batched
+    generator dispatch across streams) must match running each stream
+    through its own single-stream engine — chains never mix. Device-flow
+    mode; ±1 count for the co-batched-vs-single dispatch fusion contexts
+    (the same envelope as the pod path)."""
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+
+    ckpt = _ckpt6(tmp_path)
+    ms = tmp_path / "ms"
+    # unequal lengths: stream c keeps chaining alone once a and b end
+    lengths = {"a": 4, "b": 4, "c": 6}
+    for k, name in enumerate(("a", "b", "c")):
+        _stream_scene(ms, name, seed=20 + k, n=lengths[name])
+    root = pathlib.Path(__file__).resolve().parents[1]
+
+    def cfg_for(inp, msk, out):
+        return compose(root / "config", "inference", overrides=[
+            f"paths.checkpoint={ckpt}",
+            f"paths.input_dir={inp}",
+            f"paths.mask_dir={msk}",
+            f"paths.output_dir={out}",
+            "paths.additional_channels={}",
+            "data.patch_size=16", "inference.use_gpu=false",
+            "inference.precision=32",
+            "+inference.temporal.enabled=true",
+            "+inference.temporal.depth=3",
+            "+inference.temporal.flow_source=device",
+        ])
+
+    eng = StyleTransferInference(cfg_for(
+        ms / "input", ms / "mask", tmp_path / "out_ms"))
+    eng.process_directory()
+
+    for name in ("a", "b", "c"):
+        solo = StyleTransferInference(cfg_for(
+            ms / "input" / name, ms / "mask" / name,
+            tmp_path / f"out_{name}"))
+        solo.process_directory()
+        outs = sorted((tmp_path / "out_ms" / name).glob("*.png"))
+        assert len(outs) == lengths[name], name
+        for p in outs:
+            a = np.asarray(Image.open(p), np.int16)
+            b = np.asarray(
+                Image.open(tmp_path / f"out_{name}" / p.name), np.int16)
+            assert np.abs(a - b).max() <= 1, f"{name}/{p.name}"
+
+
+def test_multistream_files_flow_and_detection(tmp_path, temporal_scene):
+    """Files-mode flows resolve per stream (temporal.flow_dir/<stream>/),
+    and stream detection triggers only on the subdirectory layout."""
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+
+    ckpt = _ckpt6(tmp_path)
+    ms = tmp_path / "ms"
+    # stream "a": reuse the temporal_scene frames + its tool-written flows
+    (ms / "input").mkdir(parents=True)
+    (ms / "mask").mkdir(parents=True)
+    (ms / "flows").mkdir(parents=True)
+    import shutil
+    shutil.copytree(temporal_scene / "input", ms / "input" / "a")
+    shutil.copytree(temporal_scene / "mask", ms / "mask" / "a")
+    shutil.copytree(temporal_scene / "flow_bwd", ms / "flows" / "a")
+    root = pathlib.Path(__file__).resolve().parents[1]
+
+    def run(inp, msk, out, fdir):
+        cfg = compose(root / "config", "inference", overrides=[
+            f"paths.checkpoint={ckpt}",
+            f"paths.input_dir={inp}",
+            f"paths.mask_dir={msk}",
+            f"paths.output_dir={out}",
+            "paths.additional_channels={}",
+            "data.patch_size=16", "inference.use_gpu=false",
+            "inference.precision=32",
+            "+inference.temporal.enabled=true",
+            "+inference.temporal.depth=3",
+            f"+inference.temporal.flow_dir={fdir}",
+            "+inference.temporal.flow_upload=f32",
+        ])
+        eng = StyleTransferInference(cfg)
+        eng.process_directory()
+        return eng
+
+    eng = run(ms / "input", ms / "mask", tmp_path / "out_ms", ms / "flows")
+    assert eng._detect_streams(ms / "input") == ["a"]
+    # flat layout must NOT detect streams
+    assert eng._detect_streams(temporal_scene / "input") == []
+    run(ms / "input" / "a", ms / "mask" / "a", tmp_path / "out_a",
+        ms / "flows" / "a")
+    outs = sorted((tmp_path / "out_ms" / "a").glob("*.png"))
+    assert len(outs) == 5
+    for p in outs:
+        a = np.asarray(Image.open(p), np.int16)
+        b = np.asarray(Image.open(tmp_path / "out_a" / p.name), np.int16)
+        assert np.abs(a - b).max() <= 1, p.name
