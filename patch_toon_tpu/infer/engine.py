@@ -949,10 +949,15 @@ class StyleTransferInference:
         inference.watch: {enabled, poll_seconds, idle_timeout_seconds,
         max_attempts}. ``idle_timeout_seconds`` null/0 = run forever
         (Ctrl-C to stop). With the temporal guide enabled, the warp chain
-        and the global flow index persist across polls (frames must arrive
-        in stream order; flow_bwd/{i}.npy is indexed by position in the
-        whole stream); multi-host temporal watch serves from process 0
-        only, other modes shard frames by name hash.
+        and the global flow index persist across polls, and a blocked
+        frame (still settling, or missing its mask/guides) holds LATER
+        frames back so the chain always advances in stream order;
+        flow_bwd/{i}.npy is indexed by position in the whole stream.
+        A subdirectory-per-video input layout routes to
+        _watch_multistream (N persistent chains, co-batched generator).
+        Multi-host flat-layout temporal watch serves from process 0 only;
+        multi-stream shards whole streams; other modes shard frames by
+        name hash.
         """
         import time as _time
 
@@ -960,11 +965,6 @@ class StyleTransferInference:
             raise ValueError(
                 "inference.watch shards by name hash automatically; "
                 "file_shard's index round-robin is unstable across polls")
-        if self.temporal_enabled and jax.process_count() > 1 \
-                and jax.process_index() != 0:
-            self.logger.warning(
-                "Temporal watch is sequential; only process 0 serves")
-            return
         import zlib
 
         wcfg = self.cfg.get("inference", {}).get("watch") or {}
@@ -973,6 +973,18 @@ class StyleTransferInference:
         max_attempts = int(wcfg.get("max_attempts", 3))
         input_dir = Path(self.cfg.paths.input_dir)
         output_dir = Path(self.cfg.paths.output_dir)
+        if self.temporal_enabled and self._detect_streams(input_dir):
+            # subdirectory-per-video layout: serve N persistent interleaved
+            # warp chains with the generator co-batched across streams
+            # (the layout is decided ONCE, at watch start)
+            return self._watch_multistream(wcfg)
+        if self.temporal_enabled and jax.process_count() > 1 \
+                and jax.process_index() != 0:
+            self.logger.warning(
+                "Temporal watch is sequential; only process 0 serves "
+                "(shard whole videos with the subdirectory-per-stream "
+                "layout instead)")
+            return
         # Multi-host watch: shard by a stable hash of the NAME (a list-index
         # round-robin would reassign frames between polls as the pending
         # list shrinks at different rates per process, double-writing the
@@ -1022,8 +1034,12 @@ class StyleTransferInference:
                     continue  # a peer's frame
                 try:
                     if p.stat().st_mtime > now - max(0.25, poll / 2):
+                        if self.temporal_enabled:
+                            break  # chain order: later frames wait behind
                         continue  # possibly still being written
                 except OSError:
+                    if self.temporal_enabled:
+                        break
                     continue
                 if self.temporal_enabled:
                     # a frame joins the temporal stream only once its mtime
@@ -1043,6 +1059,8 @@ class StyleTransferInference:
                             f"{p.name}: mask/guide channels still missing "
                             f"after {now - first:.0f}s; frame stays pending "
                             "until they arrive")
+                    if self.temporal_enabled:
+                        break  # chain order: later frames wait behind
                     continue  # mask/guide not landed yet: retry next poll
                 waiting_since.pop(p.name, None)
                 aux_warned.discard(p.name)
@@ -1105,8 +1123,8 @@ class StyleTransferInference:
         # Multi-stream temporal serving: a subdirectory-per-video layout
         # serves N independent warp chains on one chip, co-batching the
         # generator dispatch ACROSS streams (a single chain is sequential
-        # and can't co-batch its own frames). One-shot runs only — watch
-        # mode polls flat directories.
+        # and can't co-batch its own frames). Watch mode routes the same
+        # layout through _watch_multistream before reaching here.
         if files is None and self.temporal_enabled:
             streams = self._detect_streams(input_dir)
             if streams:
@@ -1737,112 +1755,78 @@ class StyleTransferInference:
             d.name for d in input_dir.iterdir()
             if d.is_dir() and sorted(d.glob("*.[pj][np][g]")))
 
-    def _process_multistream(self, streams, input_dir: Path,
-                             mask_dir: Path, output_dir: Path,
-                             progress: bool = True) -> None:
-        """Serve N independent videos (one subdirectory each) as
-        interleaved temporal chains on ONE chip.
+    def _ms_info(self, name: str, files, mask_dir: Path, flow_root):
+        """Per-stream serving state: the file queue, per-stream aux dirs,
+        the warp-chain carry (prev stylized output / prev grayscale), and
+        the set of known stream members. Files-mode flows are indexed by a
+        frame's RANK in the sorted member set — the multi-stream form of
+        _temporal_position, so watch retries/restarts keep positions."""
+        chans = {n: dict(c, path=str(Path(c["path"]) / name))
+                 for n, c in self.additional_channels.items()}
+        mdir = mask_dir / name
+        masked = not mask_dir.name.endswith("ignore")
+        if masked and not mdir.exists():
+            raise FileNotFoundError(f"Mask directory not found: {mdir}")
+        return dict(name=name, files=list(files), chans=chans, mdir=mdir,
+                    masked=masked,
+                    fdir=(flow_root / name) if flow_root else None,
+                    prev=None, prev_gray=None, idx=0,
+                    members={p.name for p in files})
 
-        A single warp chain is inherently sequential — frame i needs frame
-        i-1's stylized output — so one stream can't co-batch its own frames
-        (the 512p tile bucket runs 170/256 = 66% full) and its readback
-        gaps leave the wire idle. N streams break both limits: each cycle
-        takes the next frame from every live stream, runs the per-stream
-        prologue (on-device flow + fused warp/concat — exactly the
-        single-stream dispatches), then stylizes ALL streams' frames in ONE
-        co-batched multiframe dispatch (the same program family as
-        frames_per_dispatch co-batching) while every stream's uint8
-        readback drains concurrently. Chains never mix: stream k's guide
-        warps stream k's own previous output (byte-parity vs N separate
-        single-stream runs: tests/test_temporal.py::test_multistream_*).
+    def _ms_load_frame(self, info, i: int):
+        """Decode one stream frame + its mask/aux (worker-thread side).
 
-        Layout: paths.input_dir/<stream>/*.png, masks at
-        paths.mask_dir/<stream>/, guide channels at <channel.path>/
-        <stream>/, flows (flow_source=files) at temporal.flow_dir/
-        <stream>/; outputs land in paths.output_dir/<stream>/. All streams
-        must share one resolution (one compiled program serves every
-        cycle). Multi-host runs shard whole STREAMS round-robin per
-        process (chains are per-stream state, so hosts need no
-        communication).
-        """
-        from concurrent.futures import ThreadPoolExecutor
-
+        The aux slot carries the mode's wire payload: the raw (>127) flow
+        mask for flow_source=device (bit-packed when mask_upload=packed),
+        or the flow_dir/<stream>/{pos}.npy field for files mode, resolved
+        by the frame's member rank — equal to its sorted-list index in a
+        one-shot run, and stable across watch polls and retries."""
         from PIL import Image
+
+        p = info["files"][i]
+        frame, rgb_u8 = self._load_frame(
+            str(p), with_rgb_u8=True, channels=info["chans"])
+        mask = None
+        if info["masked"]:
+            mask = self._load_eroded_mask(
+                str(info["mdir"] / p.name), frame.shape[:2])
+        mbox = mask_support_bbox(mask) if mask is not None else None
+        aux = None
+        if self.temporal_flow_source == "device":
+            # raw flow mask, the TOOL's semantics (> 127); missing ->
+            # unmasked flow — mirrors the single-stream load_flow_mask
+            resolved = find_corresponding_image(str(info["mdir"]), p.name)
+            if os.path.exists(resolved):
+                arr = np.asarray(Image.open(resolved).convert("L"))
+                aux = np.packbits(arr > 127) if self.mask_packed \
+                    else (arr > 127).astype(np.uint8)
+        elif info["fdir"] is not None:
+            pos = sorted(info["members"]).index(p.name)
+            fp = info["fdir"] / f"{self.temporal_format % pos}.npy"
+            if fp.exists():
+                aux = np.load(str(fp))
+                if self.temporal_flow_f16 and aux.dtype != np.float16:
+                    aux = aux.astype(np.float16)
+        return frame, mask, rgb_u8, mbox, aux, p.name
+
+    def _ms_run_cycles(self, infos, writer, load_pool, fetch_pool,
+                       output_dir: Path, shape_ref,
+                       progress: bool = True) -> None:
+        """Drain every stream's file queue as interleaved chain cycles.
+
+        Each cycle takes the next frame from every live stream, runs the
+        per-stream temporal prologue (on-device flow + fused warp/concat —
+        exactly the single-stream dispatches), then stylizes ALL streams'
+        frames in ONE co-batched multiframe dispatch while every stream's
+        uint8 readback drains concurrently over the fetch pool. Chains
+        never mix: stream k's guide warps stream k's own previous output.
+        Chain state (prev/prev_gray) lives on the info dicts, so a caller
+        that keeps them (_watch_multistream) carries chains across calls;
+        shape_ref pins the one compiled resolution the same way. All
+        pending readbacks are drained before returning."""
         from tqdm import tqdm
 
-        from patch_toon_tpu.native import FrameWriter
-
-        if self.devices != 1:
-            raise ValueError(
-                "multi-stream temporal serving is per-chip (inference."
-                "devices=1); run one process per chip and shard streams")
-        if jax.process_count() > 1:
-            streams = streams[jax.process_index()::jax.process_count()]
-            self.logger.info(
-                f"Multi-host: this process serves streams {streams}")
         device_flow = self.temporal_flow_source == "device"
-        flow_root = Path(self.temporal_flow_dir) \
-            if self.temporal_flow_dir else None
-
-        infos = []
-        for s in streams:
-            files = sorted((input_dir / s).glob("*.[pj][np][g]"))
-            chans = {n: dict(c, path=str(Path(c["path"]) / s))
-                     for n, c in self.additional_channels.items()}
-            mdir = mask_dir / s
-            if not mask_dir.name.endswith("ignore") and not mdir.exists():
-                raise FileNotFoundError(
-                    f"Mask directory not found: {mdir}")
-            (output_dir / s).mkdir(parents=True, exist_ok=True)
-            infos.append(dict(
-                name=s, files=files, chans=chans, mdir=mdir,
-                fdir=(flow_root / s) if flow_root else None,
-                prev=None, prev_gray=None, idx=0))
-        total = sum(len(i["files"]) for i in infos)
-        self.logger.info(
-            f"Multi-stream temporal serving: {len(infos)} streams, "
-            f"{total} frames, co-batched {len(infos)} frames/dispatch")
-
-        writer = FrameWriter(num_threads=2)
-        load_pool = ThreadPoolExecutor(max_workers=2)
-        fetch_pool = ThreadPoolExecutor(
-            max_workers=max(4, min(8, self.readback_streams)))
-
-        def load_frame(info, i):
-            p = info["files"][i]
-            frame, rgb_u8 = self._load_frame(
-                str(p), with_rgb_u8=True, channels=info["chans"])
-            mask = None
-            if not mask_dir.name.endswith("ignore"):
-                mask = self._load_eroded_mask(
-                    str(info["mdir"] / p.name), frame.shape[:2])
-            mbox = mask_support_bbox(mask) if mask is not None else None
-            if device_flow:
-                # raw flow mask, the TOOL's semantics (> 127); missing ->
-                # unmasked flow — mirrors the single-stream load_flow_mask
-                aux = None
-                resolved = find_corresponding_image(str(info["mdir"]),
-                                                    p.name)
-                if os.path.exists(resolved):
-                    arr = np.asarray(Image.open(resolved).convert("L"))
-                    aux = np.packbits(arr > 127) if self.mask_packed \
-                        else (arr > 127).astype(np.uint8)
-            else:
-                # flow files are indexed by POSITION in the stream
-                aux = None
-                if info["fdir"] is not None:
-                    fp = info["fdir"] / f"{self.temporal_format % i}.npy"
-                    if fp.exists():
-                        aux = np.load(str(fp))
-                        if self.temporal_flow_f16 and \
-                                aux.dtype != np.float16:
-                            aux = aux.astype(np.float16)
-            return frame, mask, rgb_u8, mbox, aux, p.name
-
-        def submit_loads():
-            return [(info, load_pool.submit(load_frame, info, info["idx"]))
-                    for info in infos if info["idx"] < len(info["files"])]
-
         pending = []  # (fetch future, save path, crop, boxes)
 
         def drain_one():
@@ -1864,10 +1848,17 @@ class StyleTransferInference:
                 self.patch_positions = boxes
                 self._save_debug_overlay(img, str(save_path))
 
+        total = sum(len(i["files"]) - i["idx"] for i in infos)
         bar = tqdm(total=total, desc="Temporal frames (multi-stream)",
                    disable=not progress)
+
+        def submit_loads():
+            return [(info,
+                     load_pool.submit(self._ms_load_frame, info,
+                                      info["idx"]))
+                    for info in infos if info["idx"] < len(info["files"])]
+
         subs = submit_loads()
-        shape0 = None
         while subs:
             for info, _ in subs:
                 info["idx"] += 1
@@ -1876,13 +1867,14 @@ class StyleTransferInference:
             for info, fut in subs:
                 try:
                     frame, mask, rgb_u8, mbox, aux, fname = fut.result()
-                    if shape0 is None:
-                        shape0 = frame.shape
-                    elif frame.shape != shape0:
+                    if shape_ref[0] is None:
+                        shape_ref[0] = frame.shape
+                    elif frame.shape != shape_ref[0]:
                         raise ValueError(
                             f"stream {info['name']} is "
-                            f"{frame.shape[:2]}, others {shape0[:2]} — "
-                            "all streams must share one resolution")
+                            f"{frame.shape[:2]}, others "
+                            f"{shape_ref[0][:2]} — all streams must share "
+                            "one resolution")
                     fdev = jnp.asarray(frame)
                     if device_flow:
                         if info["prev"] is not None and \
@@ -1940,7 +1932,8 @@ class StyleTransferInference:
                     u8 = u8s[k]
                     crop = None
                     if self.crop_readback and mbox is not None:
-                        bbox = compute_crop_bbox([mbox], *shape0[:2])
+                        bbox = compute_crop_bbox([mbox],
+                                                 *shape_ref[0][:2])
                         if bbox is not None:
                             y0, y1, x0, x1 = bbox
                             u8 = u8[y0:y1, x0:x1]
@@ -1961,9 +1954,226 @@ class StyleTransferInference:
         while pending:
             drain_one()
         bar.close()
-        load_pool.shutdown(wait=False)
-        fetch_pool.shutdown(wait=False)
-        failed = writer.flush()
-        writer.close()
-        if failed:
-            self.logger.error(f"{failed} frame writes failed")
+
+    def _process_multistream(self, streams, input_dir: Path,
+                             mask_dir: Path, output_dir: Path,
+                             progress: bool = True) -> None:
+        """Serve N independent videos (one subdirectory each) as
+        interleaved temporal chains on ONE chip.
+
+        A single warp chain is inherently sequential — frame i needs frame
+        i-1's stylized output — so one stream can't co-batch its own frames
+        (the 512p tile bucket runs 170/256 = 66% full) and its readback
+        gaps leave the wire idle. N streams break both limits: see
+        _ms_run_cycles (byte-parity vs N separate single-stream runs:
+        tests/test_temporal.py::test_multistream_*).
+
+        Layout: paths.input_dir/<stream>/*.png, masks at
+        paths.mask_dir/<stream>/, guide channels at <channel.path>/
+        <stream>/, flows (flow_source=files) at temporal.flow_dir/
+        <stream>/; outputs land in paths.output_dir/<stream>/. All streams
+        must share one resolution (one compiled program serves every
+        cycle). Multi-host runs shard whole STREAMS round-robin per
+        process (chains are per-stream state, so hosts need no
+        communication). Watch mode serves the same layout via
+        _watch_multistream."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from patch_toon_tpu.native import FrameWriter
+
+        if self.devices != 1:
+            raise ValueError(
+                "multi-stream temporal serving is per-chip (inference."
+                "devices=1); run one process per chip and shard streams")
+        if jax.process_count() > 1:
+            streams = streams[jax.process_index()::jax.process_count()]
+            self.logger.info(
+                f"Multi-host: this process serves streams {streams}")
+        flow_root = Path(self.temporal_flow_dir) \
+            if self.temporal_flow_dir else None
+
+        infos = []
+        for s in streams:
+            files = sorted((input_dir / s).glob("*.[pj][np][g]"))
+            infos.append(self._ms_info(s, files, mask_dir, flow_root))
+            (output_dir / s).mkdir(parents=True, exist_ok=True)
+        total = sum(len(i["files"]) for i in infos)
+        self.logger.info(
+            f"Multi-stream temporal serving: {len(infos)} streams, "
+            f"{total} frames, co-batched {len(infos)} frames/dispatch")
+
+        writer = FrameWriter(num_threads=2)
+        load_pool = ThreadPoolExecutor(max_workers=2)
+        fetch_pool = ThreadPoolExecutor(
+            max_workers=max(4, min(8, self.readback_streams)))
+        try:
+            self._ms_run_cycles(infos, writer, load_pool, fetch_pool,
+                                output_dir, [None], progress=progress)
+        finally:
+            load_pool.shutdown(wait=False)
+            fetch_pool.shutdown(wait=False)
+            failed = writer.flush()
+            writer.close()
+            if failed:
+                self.logger.error(f"{failed} frame writes failed")
+
+    def _watch_multistream(self, wcfg) -> None:
+        """Watch-serve N videos (paths.input_dir/<stream>/*.png) as
+        persistent interleaved temporal chains on one chip.
+
+        The multi-stream analogue of watch_directory (no reference
+        equivalent — generator.py is one-shot): each poll picks up settled
+        new frames per stream IN ORDER — a frame whose mask/guide channels
+        haven't landed blocks its OWN stream (chains advance sequentially)
+        but never the others — then every stream's new frames run through
+        the co-batched cycle runner. Chain state, stream flow positions,
+        the compiled-resolution pin and warm programs persist across
+        polls; new stream subdirectories join live (once their mask dir
+        exists, when masks are required). Multi-host runs shard whole
+        streams by a stable name hash. Frames already stylized at start
+        keep their stream positions (their outputs register them), so a
+        service restart over a half-served directory resumes every
+        chain's flow indexing correctly — the chain itself restarts from
+        the first new frame's RGB bootstrap, exactly like single-stream
+        watch."""
+        import time as _time
+        import zlib
+        from concurrent.futures import ThreadPoolExecutor
+
+        from patch_toon_tpu.native import FrameWriter
+
+        if self.devices != 1:
+            raise ValueError(
+                "multi-stream temporal serving is per-chip (inference."
+                "devices=1); run one process per chip and shard streams")
+        poll = float(wcfg.get("poll_seconds", 1.0))
+        idle_timeout = float(wcfg.get("idle_timeout_seconds") or 0)
+        max_attempts = int(wcfg.get("max_attempts", 3))
+        aux_warn_after = float(wcfg.get("aux_warn_seconds", 30.0))
+        input_dir = Path(self.cfg.paths.input_dir)
+        output_dir = Path(self.cfg.paths.output_dir)
+        mask_dir = Path(self.cfg.paths.mask_dir)
+        mask_needed = not mask_dir.name.endswith("ignore")
+        flow_root = Path(self.temporal_flow_dir) \
+            if self.temporal_flow_dir else None
+        nproc, me = jax.process_count(), jax.process_index()
+
+        writer = FrameWriter(num_threads=2)
+        load_pool = ThreadPoolExecutor(max_workers=2)
+        fetch_pool = ThreadPoolExecutor(
+            max_workers=max(4, min(8, self.readback_streams)))
+        shape_ref = [None]
+        infos: Dict[str, dict] = {}
+        done: Dict[str, set] = {}
+        attempts: Dict[str, int] = {}
+        waiting_since: Dict[str, float] = {}
+        aux_warned: set = set()
+
+        def aux_ready(info, p: Path) -> bool:
+            if info["masked"] and not os.path.exists(
+                    find_corresponding_image(str(info["mdir"]), p.name)):
+                return False
+            for ccfg in info["chans"].values():
+                if not os.path.exists(
+                        find_corresponding_image(ccfg["path"], str(p))):
+                    return False
+            return True
+
+        idle = 0.0
+        self.logger.info(
+            f"Watching {input_dir} (multi-stream temporal, poll {poll}s, "
+            f"idle timeout {idle_timeout or 'none'})")
+        try:
+            while True:
+                now = _time.time()
+                for s in self._detect_streams(input_dir):
+                    if s in infos or (nproc > 1 and
+                                      zlib.crc32(s.encode()) % nproc != me):
+                        continue
+                    if mask_needed and not (mask_dir / s).exists():
+                        continue  # producer hasn't created it yet
+                    info = self._ms_info(s, [], mask_dir, flow_root)
+                    (output_dir / s).mkdir(parents=True, exist_ok=True)
+                    prior = {q.name for q in
+                             (output_dir / s).glob("*.[pj][np][g]")}
+                    info["members"] |= prior  # keep restart positions
+                    done[s] = set(prior)
+                    infos[s] = info
+                    self.logger.info(
+                        f"Stream {s}: serving" + (
+                            f" ({len(prior)} already stylized)"
+                            if prior else ""))
+                new_total = 0
+                for s, info in infos.items():
+                    fresh = []
+                    for p in sorted((input_dir / s).glob("*.[pj][np][g]")):
+                        if p.name in done[s] \
+                                or (output_dir / s / p.name).exists():
+                            info["members"].add(p.name)
+                            done[s].add(p.name)
+                            continue
+                        key = f"{s}/{p.name}"
+                        try:
+                            if p.stat().st_mtime > now - max(0.25,
+                                                             poll / 2):
+                                break  # settling: chain order, stream waits
+                        except OSError:
+                            break
+                        info["members"].add(p.name)
+                        if not aux_ready(info, p):
+                            first = waiting_since.setdefault(key, now)
+                            if key not in aux_warned \
+                                    and now - first >= aux_warn_after:
+                                aux_warned.add(key)
+                                self.logger.warning(
+                                    f"{key}: mask/guide channels still "
+                                    f"missing after {now - first:.0f}s; "
+                                    "its stream stays blocked until they "
+                                    "arrive")
+                            break  # chain order: only THIS stream blocks
+                        waiting_since.pop(key, None)
+                        aux_warned.discard(key)
+                        fresh.append(p)
+                    info["files"] = fresh
+                    info["idx"] = 0
+                    new_total += len(fresh)
+                if new_total:
+                    try:
+                        self._ms_run_cycles(
+                            list(infos.values()), writer, load_pool,
+                            fetch_pool, output_dir, shape_ref,
+                            progress=False)
+                    except Exception as e:
+                        # the service must outlive a bad batch; per-frame
+                        # attempts below decide retry vs give-up
+                        self.logger.error(f"Batch failed: {e}")
+                    writer.flush()
+                    for s, info in infos.items():
+                        for p in info["files"]:
+                            key = f"{s}/{p.name}"
+                            if (output_dir / s / p.name).exists():
+                                done[s].add(p.name)
+                                idle = 0.0
+                            else:
+                                attempts[key] = attempts.get(key, 0) + 1
+                                if attempts[key] >= max_attempts:
+                                    self.logger.error(
+                                        f"Giving up on {key} after "
+                                        f"{max_attempts} attempts")
+                                    done[s].add(p.name)
+                    self.logger.info(
+                        f"Stylized {new_total} new frame(s) across "
+                        f"{len(infos)} stream(s)")
+                _time.sleep(poll)
+                idle += poll
+                if idle_timeout and idle >= idle_timeout:
+                    self.logger.info(
+                        f"No new frames for {idle:.0f}s; stopping watch")
+                    return
+        finally:
+            load_pool.shutdown(wait=False)
+            fetch_pool.shutdown(wait=False)
+            failed = writer.flush()
+            writer.close()
+            if failed:
+                self.logger.error(f"{failed} frame writes failed")

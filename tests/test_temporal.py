@@ -747,3 +747,134 @@ def test_multistream_files_flow_and_detection(tmp_path, temporal_scene):
         a = np.asarray(Image.open(p), np.int16)
         b = np.asarray(Image.open(tmp_path / "out_a" / p.name), np.int16)
         assert np.abs(a - b).max() <= 1, p.name
+
+
+def test_watch_multistream(tmp_path):
+    """Watch mode over the subdirectory-per-video layout: chains persist
+    across polls (frames arriving in waves match the one-shot multi-stream
+    run to the same ±1 fusion envelope), and outputs land per stream."""
+    import shutil
+    import threading
+    import time
+
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+
+    ckpt = _ckpt6(tmp_path)
+    ms = tmp_path / "ms"
+    lengths = {"a": 4, "b": 5}
+    for k, name in enumerate(("a", "b")):
+        _stream_scene(ms, name, seed=30 + k, n=lengths[name])
+    root = pathlib.Path(__file__).resolve().parents[1]
+
+    def cfg_for(inp, msk, out, extra=()):
+        return compose(root / "config", "inference", overrides=[
+            f"paths.checkpoint={ckpt}",
+            f"paths.input_dir={inp}",
+            f"paths.mask_dir={msk}",
+            f"paths.output_dir={out}",
+            "paths.additional_channels={}",
+            "data.patch_size=16", "inference.use_gpu=false",
+            "inference.precision=32",
+            "+inference.temporal.enabled=true",
+            "+inference.temporal.depth=3",
+            "+inference.temporal.flow_source=device",
+            *extra,
+        ])
+
+    # one-shot reference over the full streams
+    StyleTransferInference(cfg_for(
+        ms / "input", ms / "mask", tmp_path / "ref")).process_directory()
+
+    # watch run: first 2 frames of each stream now, the rest arrive live
+    win, wmask = tmp_path / "win", tmp_path / "wmask"
+    for name, n in lengths.items():
+        (win / name).mkdir(parents=True)
+        (wmask / name).mkdir(parents=True)
+        for i in range(2):
+            shutil.copy(ms / "input" / name / f"{i:03d}.png", win / name)
+            shutil.copy(ms / "mask" / name / f"{i:03d}.jpg", wmask / name)
+    eng = StyleTransferInference(cfg_for(
+        win, wmask, tmp_path / "wout", extra=[
+            "inference.watch.enabled=true",
+            "inference.watch.poll_seconds=0.3",
+            "inference.watch.idle_timeout_seconds=40",
+        ]))
+    t = threading.Thread(target=eng.watch_directory)
+    t.start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and not (
+                tmp_path / "wout" / "b" / "001.png").exists():
+            time.sleep(0.5)
+        assert (tmp_path / "wout" / "b" / "001.png").exists()
+        for name, n in lengths.items():
+            for i in range(2, n):
+                shutil.copy(ms / "input" / name / f"{i:03d}.png",
+                            win / name)
+                shutil.copy(ms / "mask" / name / f"{i:03d}.jpg",
+                            wmask / name)
+        deadline = time.time() + 60
+        while time.time() < deadline and not (
+                tmp_path / "wout" / "b" / "004.png").exists():
+            time.sleep(0.5)
+        assert (tmp_path / "wout" / "b" / "004.png").exists()
+    finally:
+        t.join(timeout=120)
+    assert not t.is_alive()
+
+    # chained outputs match the one-shot multi-stream run — including the
+    # frames whose guides crossed the poll gap (±1: co-batched group
+    # composition differs between polls, same envelope as pod/co-batch)
+    for name, n in lengths.items():
+        for i in range(n):
+            a = np.asarray(
+                Image.open(tmp_path / "wout" / name / f"{i:03d}.png"),
+                np.int16)
+            b = np.asarray(
+                Image.open(tmp_path / "ref" / name / f"{i:03d}.png"),
+                np.int16)
+            assert np.abs(a - b).max() <= 1, f"{name}/{i:03d}.png"
+
+
+def test_watch_multistream_blocked_stream_does_not_stall_others(tmp_path):
+    """A frame missing its mask blocks its OWN stream (chain order) but
+    the other streams keep serving; the blocked stream's later frames
+    wait behind it."""
+    import threading
+
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+
+    ckpt = _ckpt6(tmp_path)
+    ms = tmp_path / "ms"
+    for k, name in enumerate(("a", "b")):
+        _stream_scene(ms, name, seed=40 + k, n=3)
+    (ms / "mask" / "a" / "001.jpg").unlink()  # a/001 never gets a mask
+    root = pathlib.Path(__file__).resolve().parents[1]
+
+    cfg = compose(root / "config", "inference", overrides=[
+        f"paths.checkpoint={ckpt}",
+        f"paths.input_dir={ms / 'input'}",
+        f"paths.mask_dir={ms / 'mask'}",
+        f"paths.output_dir={tmp_path / 'out'}",
+        "paths.additional_channels={}",
+        "data.patch_size=16", "inference.use_gpu=false",
+        "inference.precision=32",
+        "+inference.temporal.enabled=true",
+        "+inference.temporal.depth=3",
+        "+inference.temporal.flow_source=device",
+        "inference.watch.enabled=true",
+        "inference.watch.poll_seconds=0.3",
+        "inference.watch.idle_timeout_seconds=8",
+    ])
+    eng = StyleTransferInference(cfg)
+    t = threading.Thread(target=eng.watch_directory)
+    t.start()
+    t.join(timeout=240)
+    assert not t.is_alive()
+    out = tmp_path / "out"
+    # b fully served; a served only up to the blocked frame
+    assert sorted(p.name for p in (out / "b").glob("*.png")) == [
+        "000.png", "001.png", "002.png"]
+    assert sorted(p.name for p in (out / "a").glob("*.png")) == ["000.png"]
