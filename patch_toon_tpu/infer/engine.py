@@ -594,6 +594,20 @@ class StyleTransferInference:
         # HIGHEST-precision convs on bf16-truncated inputs
         self.precision = inf.get("precision", "bf16")
         self.dtype = _resolve_dtype(self.precision) or jnp.float32
+        # inference.quantize: "int8" serves every generator conv (except
+        # the 1x1 output head) as w8a8 on the int8 MXU — 2.0x the bf16
+        # conv rate on v5e (models/layers.py QuantConv). Activation scales
+        # calibrate automatically on the first frame (one fp forward).
+        # A throughput/quality knob, NOT bit-parity; off by default.
+        q = str(inf.get("quantize", "off")).lower()
+        if q in ("off", "false", "0", "no", "none"):
+            self.quantize = None
+        elif q in ("int8", "w8a8"):
+            self.quantize = "int8"
+        else:
+            raise ValueError(
+                f"inference.quantize={q!r}: expected int8/w8a8 or "
+                "off/false/0/no/none")
         # inference.devices: 1 = single chip; N = frames sharded over an
         # N-chip 'data' mesh (pod streaming); -1 = all chips
         self.devices = int(inf.get("devices", 1))
@@ -775,6 +789,11 @@ class StyleTransferInference:
         # (measured on v5e) — kept as an opt-in knob for future kernels.
         if bool(self.cfg.get("inference", {}).get("fused_norm", False)):
             self.model.generator = self.model.generator.clone(fused_norm=True)
+        if self.quantize:
+            # programs trace QuantConv (w8a8 on the int8 MXU); the 'quant'
+            # activation scales join g_vars at first-frame calibration
+            self.model.generator = self.model.generator.clone(
+                quant_mode="int8")
         self.logger.info(
             f"Model ready: {ckpt_channels} input channels from {ckpt_path}")
 
@@ -788,6 +807,36 @@ class StyleTransferInference:
                 self.dtype, compiler_options=self.xla_options)
         return self._frame_fns[key]
 
+    def _ensure_quant(self, frame) -> None:
+        """First-frame w8a8 calibration (inference.quantize=int8).
+
+        Runs ONE fp generator forward over the whole first frame with
+        QuantConv in calib mode, folding each conv input's absmax into the
+        'quant' collection; the scales then ride self.g_vars into every
+        program unchanged (the builders pass g_vars through). Whole-frame
+        calibration covers the tiled programs too: instance norm keeps
+        every conv input in a stable normalized range, so tile-level
+        absmax tracks frame-level absmax (validated by the int8-vs-fp
+        PSNR test). Scales are static afterwards — no per-dispatch
+        reduction ever rides the serving path."""
+        if not self.quantize or "quant" in self.g_vars:
+            return
+        calib = self.model.generator.clone(quant_mode="calib")
+        x = _to_signed_unit(jnp.asarray(frame))  # u8 uploads normalize here
+        h, w = x.shape[0], x.shape[1]
+        # the generator's two stride-2 stages + 2x upsamples need /4 dims;
+        # trimming a couple of edge rows is harmless for absmax statistics
+        x = x[None, :h // 4 * 4, :w // 4 * 4, :].astype(self.dtype)
+        fn = jax.jit(lambda v, xx: calib.apply(
+            v, xx, train=False, mutable=["quant"])[1])
+        mut = fn({k: v for k, v in self.g_vars.items() if k != "quant"}, x)
+        self.g_vars = dict(self.g_vars, quant=mut["quant"])
+        self._g_vars_sharded = None  # pod replicas rebuild with the scales
+        n = len(jax.tree_util.tree_leaves(mut["quant"]))
+        self.logger.info(
+            f"int8 serving: calibrated {n} activation scales on the "
+            "first frame")
+
     def _stylize_device(
         self,
         frame: np.ndarray,                 # (H,W,C) fp32 [-1,1]
@@ -797,6 +846,7 @@ class StyleTransferInference:
     ):
         """Dispatch one frame's stylization; returns the device uint8 array
         (async — fetch with np.asarray) and the tile boxes."""
+        self._ensure_quant(frame)
         h, w, c = frame.shape
         if mask is None:
             mask = np.ones((h, w), np.float32)
@@ -1409,9 +1459,9 @@ class StyleTransferInference:
             self.logger.error(f"{failed} frame writes failed")
 
     def _ensure_mesh(self) -> None:
-        if self._mesh is None:
-            from patch_toon_tpu.parallel import make_mesh, replicate
+        from patch_toon_tpu.parallel import make_mesh, replicate
 
+        if self._mesh is None:
             # Multi-host runs build a LOCAL mesh: frames are partitioned
             # across hosts by file_shard (stateless per-frame work), so each
             # process drives only its own chips and no cross-host collective
@@ -1421,8 +1471,11 @@ class StyleTransferInference:
             self._mesh = make_mesh(
                 data=self.devices if self.devices != 1 else -1,
                 devices=local)
-            self._g_vars_sharded = replicate(self.g_vars, self._mesh)
             self.logger.info(f"Pod inference mesh: {self._mesh}")
+        if self._g_vars_sharded is None:
+            # (re)replicate — _ensure_quant invalidates this when the
+            # calibrated scales join g_vars
+            self._g_vars_sharded = replicate(self.g_vars, self._mesh)
 
     def _stylize_group_pod(self, frames, masks, group_boxes):
         """Dispatch a frame group sharded over the mesh 'data' axis.
@@ -1434,6 +1487,7 @@ class StyleTransferInference:
         from patch_toon_tpu.infer.tiling import pack_boxes_multi
         from patch_toon_tpu.parallel import batch_sharding
 
+        self._ensure_quant(frames[0])
         self._ensure_mesh()
         mesh = self._mesh
         sh = batch_sharding(mesh)
@@ -1492,6 +1546,7 @@ class StyleTransferInference:
         feeds multi-stream temporal chains)."""
         from patch_toon_tpu.infer.tiling import pack_boxes_multi
 
+        self._ensure_quant(frames[0])
         f = len(frames)
         h, w, c = frames[0].shape
         total = sum(len(b) for b in group_boxes)

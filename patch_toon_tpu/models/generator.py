@@ -39,6 +39,7 @@ class ResNetBlock(nn.Module):
     dtype: Any = None
     fused_norm: bool = False
     conv_precision: Optional[str] = None  # None (parity) | "high" (32_fast)
+    quant_mode: Optional[str] = None  # None | "calib" | "int8"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -51,11 +52,13 @@ class ResNetBlock(nn.Module):
 
         y = nn.relu(x)
         y = torch_conv(self.channels, 3, 1, 1, self.use_bias, dtype=self.dtype,
-                       name="conv1", conv_precision=self.conv_precision)(y)
+                       name="conv1", conv_precision=self.conv_precision,
+                       quant_mode=self.quant_mode)(y)
         y = norm(y)
         y = nn.relu(y)
         y = torch_conv(self.channels, 3, 1, 1, self.use_bias, dtype=self.dtype,
-                       name="conv2", conv_precision=self.conv_precision)(y)
+                       name="conv2", conv_precision=self.conv_precision,
+                       quant_mode=self.quant_mode)(y)
         y = norm(y)
         return x + y
 
@@ -80,6 +83,9 @@ class GeneratorJ(nn.Module):
     dtype: Any = None
     fused_norm: bool = False  # inference-only Pallas IN+act fast path
     conv_precision: Optional[str] = None  # None (parity) | "high" (32_fast)
+    # w8a8 serving on the int8 MXU (QuantConv; every conv except the 1x1
+    # output head, which stays fp for output fidelity). None | calib | int8.
+    quant_mode: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -88,37 +94,43 @@ class GeneratorJ(nn.Module):
         norm = self.norm_layer
         dt = self.dtype
         cp = self.conv_precision
+        qm = self.quant_mode
 
         # stem: Conv7x7 s1 p3 -> IN -> LeakyReLU(0.2)    [generator.py:91-94]
         conv0 = ConvBlock(f[0], 7, 1, 3, self.use_bias, norm, "leaky_relu",
                           dtype=dt, fused_norm=self.fused_norm,
-                          conv_precision=cp, name="initial_conv")(x)
+                          conv_precision=cp, quant_mode=qm,
+                          name="initial_conv")(x)
         # downsamples: Conv3x3 s2 p1 -> IN -> LReLU      [generator.py:97-104]
         conv1 = ConvBlock(f[1], 3, 2, 1, self.use_bias, norm, "leaky_relu",
                           dtype=dt, fused_norm=self.fused_norm,
-                          conv_precision=cp, name="downsample1")(conv0)
+                          conv_precision=cp, quant_mode=qm,
+                          name="downsample1")(conv0)
         conv2 = ConvBlock(f[2], 3, 2, 1, self.use_bias, norm, "leaky_relu",
                           dtype=dt, fused_norm=self.fused_norm,
-                          conv_precision=cp, name="downsample2")(conv1)
+                          conv_precision=cp, quant_mode=qm,
+                          name="downsample2")(conv1)
 
         # residual trunk                                  [generator.py:107-110]
         out = conv2
         for i in range(self.resnet_blocks):
             out = ResNetBlock(f[2], norm, self.use_bias, dtype=dt,
                               fused_norm=self.fused_norm, conv_precision=cp,
-                              name=f"resnet_{i}")(out)
+                              quant_mode=qm, name=f"resnet_{i}")(out)
 
         # decoder with skip concats                       [generator.py:114-121]
         out = UpConvBlock(f[4], self.use_bias, norm, "relu", dtype=dt,
                           fused_norm=self.fused_norm, conv_precision=cp,
+                          quant_mode=qm,
                           name="upsample2")(jnp.concatenate([out, conv2], axis=-1))
         out = UpConvBlock(f[4], self.use_bias, norm, "relu", dtype=dt,
                           fused_norm=self.fused_norm, conv_precision=cp,
+                          quant_mode=qm,
                           name="upsample1")(jnp.concatenate([out, conv1], axis=-1))
 
         # 7x7 conv over (decoded, stem, raw input)        [generator.py:124-128]
         out = torch_conv(f[5], 7, 1, 3, self.use_bias, dtype=dt,
-                         name="conv11", conv_precision=cp)(
+                         name="conv11", conv_precision=cp, quant_mode=qm)(
             jnp.concatenate([out, conv0, x], axis=-1)
         )
         out = nn.relu(out)
@@ -127,7 +139,8 @@ class GeneratorJ(nn.Module):
         #                                                  [generator.py:131-138]
         if self.append_smoothers:
             out = torch_conv(f[5], 3, 1, 1, self.use_bias, dtype=dt,
-                       name="smoother_conv1", conv_precision=cp)(out)
+                       name="smoother_conv1", conv_precision=cp,
+                       quant_mode=qm)(out)
             out = nn.relu(out)
             out = nn.BatchNorm(
                 use_running_average=not train,
@@ -138,7 +151,8 @@ class GeneratorJ(nn.Module):
                 name="smoother_bn",
             )(out.astype(jnp.float32)).astype(out.dtype)
             out = torch_conv(f[5], 3, 1, 1, self.use_bias, dtype=dt,
-                       name="smoother_conv2", conv_precision=cp)(out)
+                       name="smoother_conv2", conv_precision=cp,
+                       quant_mode=qm)(out)
             out = nn.relu(out)
 
         # head: Conv1x1 (bias always on, as in reference generator.py:141) + tanh

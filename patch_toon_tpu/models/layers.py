@@ -128,14 +128,24 @@ def torch_conv(
     dtype: Any = None,
     name: Optional[str] = None,
     conv_precision: Optional[str] = None,
-) -> nn.Conv:
+    quant_mode: Optional[str] = None,
+) -> nn.Module:
     """Torch-compatible 2D conv (explicit zero padding, NHWC, N(0,0.02) init).
 
     Precision policy: when running in fp32 (dtype None/float32) the MXU is
     driven at HIGHEST precision so results match the torch reference to fp32
     roundoff; under a bf16 compute policy the fast default is used. See
     resolve_mxu_precision for the opt-in "32_fast" 3-pass mode.
+
+    ``quant_mode`` ("calib"/"int8") swaps in QuantConv — identical params
+    (same tree, so trained checkpoints load unchanged) with w8a8 inference
+    on the int8 MXU path (2x the bf16 conv rate on v5e, measured).
     """
+    if quant_mode is not None:
+        return QuantConv(
+            features=features, kernel_size=kernel_size, stride=stride,
+            padding=padding, use_bias=use_bias, mode=quant_mode,
+            dtype=dtype, conv_precision=conv_precision, name=name)
     precision = resolve_mxu_precision(conv_precision, dtype)
     return nn.Conv(
         features=features,
@@ -150,6 +160,82 @@ def torch_conv(
         precision=precision,
         name=name,
     )
+
+
+class QuantConv(nn.Module):
+    """w8a8 quantized conv for the int8 MXU (inference-only, opt-in).
+
+    Parameters are the SAME fp32 kernel/bias as nn.Conv (same names and
+    shapes), so any trained checkpoint loads unchanged; quantization is a
+    serving-time transform. Two static modes:
+
+    - ``calib``: runs the normal fp conv (parity precision policy) and
+      folds the input's absmax into the ``quant`` collection variable
+      ``a_scale`` (apply with ``mutable=["quant"]``; repeated batches
+      accumulate via max).
+    - ``int8``: activations quantize per-tensor against the calibrated
+      ``a_scale`` (symmetric, so torch-style zero padding stays exact),
+      weights per-output-channel against their own absmax (recomputed from
+      the fp params at trace time — negligible next to the conv), the conv
+      accumulates int32 on the MXU, and the result dequantizes to the
+      compute dtype before bias.
+
+    No reference equivalent (the reference serves fp16 CUDA,
+    /root/reference/generator.py:184-185); measured 2.0x bf16 conv
+    throughput on v5e at 80x80/B=512 conv11 shapes.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    mode: str = "int8"  # "calib" | "int8"
+    dtype: Any = None
+    conv_precision: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", conv_kernel_init,
+            (k, k, x.shape[-1], self.features), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(),
+            (self.features,), jnp.float32) if self.use_bias else None
+        a_scale = self.variable(
+            "quant", "a_scale", lambda: jnp.zeros((), jnp.float32))
+        pad = ((self.padding, self.padding), (self.padding, self.padding))
+        dn = ("NHWC", "HWIO", "NHWC")
+        cdt = self.dtype or jnp.float32
+
+        if self.mode == "calib":
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            if not self.is_initializing():
+                a_scale.value = jnp.maximum(a_scale.value, amax)
+            y = jax.lax.conv_general_dilated(
+                x.astype(cdt), kernel.astype(cdt),
+                (self.stride, self.stride), pad, dimension_numbers=dn,
+                precision=resolve_mxu_precision(self.conv_precision,
+                                                self.dtype))
+        elif self.mode == "int8":
+            s = jnp.maximum(a_scale.value, 1e-12) / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                          -127, 127).astype(jnp.int8)
+            w_amax = jnp.maximum(
+                jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12)
+            w_s = w_amax / 127.0
+            wq = jnp.round(kernel / w_s).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                xq, wq, (self.stride, self.stride), pad,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32) * (s * w_s)).astype(cdt)
+        else:
+            raise ValueError(f"Unknown quant mode: {self.mode!r}")
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class ConvBlock(nn.Module):
@@ -168,6 +254,7 @@ class ConvBlock(nn.Module):
     dtype: Any = None
     fused_norm: bool = False  # inference-only Pallas IN+act kernel
     conv_precision: Optional[str] = None  # None (parity) | "high" (32_fast)
+    quant_mode: Optional[str] = None  # None | "calib" | "int8" (QuantConv)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -180,6 +267,7 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
             name="conv",
             conv_precision=self.conv_precision,
+            quant_mode=self.quant_mode,
         )(x)
         if self.norm == "instance_norm":
             if self.fused_norm:
@@ -209,12 +297,14 @@ class UpConvBlock(nn.Module):
     dtype: Any = None
     fused_norm: bool = False
     conv_precision: Optional[str] = None
+    quant_mode: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         y = upsample2x_bilinear_align_corners(x)
         y = torch_conv(self.features, 3, 1, 1, self.use_bias, dtype=self.dtype,
-                       name="conv", conv_precision=self.conv_precision)(y)
+                       name="conv", conv_precision=self.conv_precision,
+                       quant_mode=self.quant_mode)(y)
         if self.norm == "instance_norm":
             if self.fused_norm:
                 return fused_instance_norm_act(y, self.act)
