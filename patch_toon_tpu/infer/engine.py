@@ -595,8 +595,9 @@ class StyleTransferInference:
         self.precision = inf.get("precision", "bf16")
         self.dtype = _resolve_dtype(self.precision) or jnp.float32
         # inference.quantize: "int8" serves every generator conv (except
-        # the 1x1 output head) as w8a8 on the int8 MXU — 2.0x the bf16
-        # conv rate on v5e (models/layers.py QuantConv). Activation scales
+        # the 1x1 output head) as w8a8 on the int8 MXU (models/layers.py
+        # QuantConv; measured throughput in the QuantConv docstring —
+        # a wash under the shipped tuned XLA options). Activation scales
         # calibrate automatically on the first frame (one fp forward).
         # A throughput/quality knob, NOT bit-parity; off by default.
         q = str(inf.get("quantize", "off")).lower()

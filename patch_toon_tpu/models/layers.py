@@ -139,7 +139,7 @@ def torch_conv(
 
     ``quant_mode`` ("calib"/"int8") swaps in QuantConv — identical params
     (same tree, so trained checkpoints load unchanged) with w8a8 inference
-    on the int8 MXU path (2x the bf16 conv rate on v5e, measured).
+    on the int8 MXU path (see QuantConv for measured throughput).
     """
     if quant_mode is not None:
         return QuantConv(
@@ -181,8 +181,14 @@ class QuantConv(nn.Module):
       compute dtype before bias.
 
     No reference equivalent (the reference serves fp16 CUDA,
-    /root/reference/generator.py:184-185); measured 2.0x bf16 conv
-    throughput on v5e at 80x80/B=512 conv11 shapes.
+    /root/reference/generator.py:184-185). Measured end-to-end on the full
+    generator (v5e, B=512 80x80 tiles, tools/profile_quant.py,
+    docs/perf/quant_r3.json): 1.22x over bf16 under plain XLA options but
+    a WASH (1.015x) under the tuned scoped-VMEM options the engine ships —
+    the program is not MXU-bound at these shapes, so halving MXU time
+    doesn't move the wall clock. Kept as an opt-in experiment; quality
+    cost is small (max |int8-bf16| ~0.01 on the tanh output, ~56 dB masked
+    PSNR vs fp on a trained checkpoint).
     """
 
     features: int

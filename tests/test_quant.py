@@ -2,8 +2,9 @@
 inference.quantize=int8).
 
 No reference equivalent (the reference serves fp16 CUDA,
-/root/reference/generator.py:184-185); this is a TPU-native throughput
-knob — conv math runs int8xint8->int32 on the MXU at 2x the bf16 rate.
+/root/reference/generator.py:184-185); this is a TPU-native serving knob —
+conv math runs int8xint8->int32 on the int8 MXU (measured throughput in
+the QuantConv docstring / docs/perf/quant_r3.json).
 """
 import pathlib
 import sys

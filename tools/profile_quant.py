@@ -42,16 +42,21 @@ DT = jnp.bfloat16
 
 
 def measure(name, fn, sets):
+    """Median-of-differences with a TINY sync fetch (a device-side slice):
+    fetching the whole output rides the tunnel (hundreds of MB/s of noise)
+    and swamps the differenced window — the first version of this tool did
+    that and produced garbage (13.4 s for a 21 ms conv)."""
     def timed(n):
         out = None
         t0 = time.perf_counter()
         for i in range(n):
             out = fn(sets[i % 3])
-        np.asarray(out).ravel()[:8]
+        np.asarray(out[0, 0, 0])  # device-side slice -> bytes, not MBs
         return time.perf_counter() - t0
 
-    np.asarray(fn(sets[0])).ravel()[:8]  # compile+warm
-    dt = (timed(2 * N) - timed(N)) / N
+    np.asarray(fn(sets[0])[0, 0, 0])  # compile+warm
+    timed(2)
+    dt = float(np.median([(timed(2 * N) - timed(N)) / N for _ in range(3)]))
     print(f"{name:24s} {dt * 1e3:8.2f} ms  {dt * 1e6 / B:6.1f} us/tile",
           flush=True)
     return dt
