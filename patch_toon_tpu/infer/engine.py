@@ -559,6 +559,11 @@ class StyleTransferInference:
         self.debug_mode = bool(inf.get("debug_mode", False))
         self.mode = str(inf.get("mode", "tiled"))  # tiled (parity) | fullframe
         self.overlap_percent = float(inf.get("overlap_percent", 30.0))
+        # co-batch budget: 'auto' frames_per_dispatch fills (but never
+        # exceeds) this many tiles per dispatch. 512 is the measured
+        # per-real-tile optimum on v5e (docs/perf/bucket_sweep_r3.json:
+        # 512@109 vs 1024@112 us/tile, and bigger dispatches coarsen the
+        # readback granularity).
         self.max_tile_batch = int(inf.get("tile_batch", 512))
         tcfg = inf.get("temporal") or {}
         self.temporal_enabled = bool(tcfg.get("enabled", False))
@@ -1414,7 +1419,8 @@ class StyleTransferInference:
                     eff_mask = mask if mask is not None else np.ones(
                         frame.shape[:2], np.float32)
                     if group_size is None:
-                        fpd = frames_per_dispatch(max(1, len(boxes)))
+                        fpd = frames_per_dispatch(
+                            max(1, len(boxes)), target=self.max_tile_batch)
                         if fpd_cfg != "auto":
                             fpd = max(1, int(fpd_cfg))
                         if self.devices != 1:

@@ -67,11 +67,24 @@ def gaussian_tile_weight(box_h: int, box_w: int, patch_size: int) -> np.ndarray:
 
 
 def bucket_size(n: int, minimum: int = 32) -> int:
-    """Round a tile count up to a power-of-two bucket (avoids recompiles)."""
+    """Round a tile count up to a compile-bucket size.
+
+    Policy (v5e, measured — docs/perf/bucket_sweep_r3.json): the generator's
+    per-tile cost is ~flat (103-123 us/tile) at every batch that is a
+    MULTIPLE OF 128 (128/256/384/512/640/768/1024 all measured), and ~2x
+    pathological at every other batch tried (160-448 non-multiples: 190-257
+    us/tile). So: powers of two up to 128, then the next multiple of 128 —
+    strictly less padding than pow2 for n > 256 (e.g. 300 -> 384 not 512,
+    520 -> 640 not 1024) while staying on the measured-good set. Outputs
+    are bit-identical across buckets (padding rows carry zero blend weight;
+    instance norm is per-sample).
+    """
     b = minimum
-    while b < n:
+    while b < n and b < 128:
         b *= 2
-    return b
+    if n <= b:
+        return b
+    return (n + 127) // 128 * 128
 
 
 def pack_boxes_multi(
@@ -97,11 +110,12 @@ def pack_boxes_multi(
 
 def frames_per_dispatch(tiles_per_frame: int, max_frames: int = 4,
                         target: int = 512) -> int:
-    """How many frames to co-batch so the pow2 tile bucket stays full.
+    """How many frames to co-batch so the tile bucket stays full.
 
-    v5e measurement: the generator's per-tile cost is ~flat at pow2 batches
-    >=128, so padding waste dominates; 3 frames x 170 tiles -> bucket 512 at
-    <1% padding beats 1 frame -> bucket 256 at 34% padding.
+    v5e measurement: the generator's per-tile cost is ~flat at 128-multiple
+    batches >=128, so padding waste dominates; 3 frames x 170 tiles ->
+    bucket 512 at <1% padding beats 1 frame -> bucket 256 at 34% padding
+    (and beats fpd=2 -> 340/384: 116 vs 110 us per REAL tile).
     """
     if tiles_per_frame <= 0:
         return 1

@@ -64,6 +64,14 @@ def test_bucket_and_pack():
     assert bucket_size(1) == 32
     assert bucket_size(33) == 64
     assert bucket_size(200) == 256
+    # above 128: next multiple of 128 (measured-good set on v5e), NOT pow2
+    # (docs/perf/bucket_sweep_r3.json — less padding, same per-tile rate)
+    assert bucket_size(129) == 256
+    assert bucket_size(300) == 384
+    assert bucket_size(384) == 384
+    assert bucket_size(385) == 512
+    assert bucket_size(513) == 640
+    assert bucket_size(1020) == 1024
     boxes = [(0, 16, 0, 16), (4, 20, 4, 20)]
     pb, wts, n = pack_boxes(boxes, 16, 32)
     assert pb.shape == (32, 4) and wts.shape == (32, 16, 16) and n == 2
