@@ -170,17 +170,19 @@ def bench_inference(frames: int = 30) -> dict:
     m2_j = jnp.asarray(np.stack([m2] * fpd2))[..., None]
     mframes = [jnp.asarray(rng.random((fpd2, h, w, c), np.float32) * 2 - 1)
                for _ in range(3)]
+    # boxes/weights ride device-resident, like the engine: a static mask's
+    # layout is uploaded once and cached (engine._packed_cached), so the
+    # timed loop must not re-pay the multi-MB weights H2D per dispatch
+    fb2_dev, wts2_dev = jnp.asarray(fb2), jnp.asarray(wts2)
     for i in range(3):
-        np.asarray(fn2(g_vars, mframes[i % 3], jnp.asarray(fb2),
-                       jnp.asarray(wts2), m2_j)[0])
+        np.asarray(fn2(g_vars, mframes[i % 3], fb2_dev, wts2_dev, m2_j)[0])
 
     def masked_window(crop: bool) -> float:
         dispatches = max(1, frames // fpd2)
         t0 = time.perf_counter()
         in_flight = []
         for i in range(dispatches):
-            o, _ = fn2(g_vars, mframes[i % 3], jnp.asarray(fb2),
-                       jnp.asarray(wts2), m2_j)
+            o, _ = fn2(g_vars, mframes[i % 3], fb2_dev, wts2_dev, m2_j)
             if crop:
                 o = o[:, y0:y1, x0:x1]
             try:

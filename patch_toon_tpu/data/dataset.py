@@ -73,6 +73,12 @@ class StyleTransferDataset:
             name: {"path": path, "depth": depth}
             for name, path, depth in self.channel_items
         }
+        # strict knob (engine._parse_crop_knob convention): a typo must
+        # raise, not silently fall back to uniform-with-replacement — the
+        # two distributions measurably differ (docs/quality_seeds)
+        if sampling not in ("uniform", "permutation"):
+            raise ValueError(
+                f"data.sampling={sampling!r}: expected uniform/permutation")
         self.sampling = sampling
 
         # Multi-sequence (multi-keyframe / multi-style) training: dir_pre /

@@ -28,6 +28,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
+import threading
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -37,6 +38,7 @@ import numpy as np
 
 from patch_toon_tpu.data.io import (
     find_corresponding_image,
+    list_images,
     load_image_channels,
     load_mask,
     save_image_uint8,
@@ -160,6 +162,17 @@ def _mask_f32(mask, like=None):
         bits = jnp.unpackbits(mask, axis=-1, count=h * w)
         return bits.reshape(*mask.shape[:-1], h, w, 1).astype(jnp.float32)
     return mask if mask.dtype == jnp.float32 else mask.astype(jnp.float32)
+
+
+_TEMPORAL_LOCK_INIT = threading.Lock()
+
+
+def _image_files(directory: Path) -> List[Path]:
+    """Sorted image Paths in a directory — the SAME extension set the data
+    layer accepts (data/io.list_images: .png/.jpg/.jpeg, any case). A bare
+    ``glob('*.[pj][np][g]')`` silently missed ``.jpeg`` and uppercase
+    extensions, so inference no-opped on inputs training handled fine."""
+    return [Path(directory) / f for f in list_images(directory)]
 
 
 def _composite_u8(rgb, out, mask):
@@ -511,20 +524,27 @@ def compute_crop_bbox(mask_boxes, h: int, w: int,
 
 
 def upload_crop_window(boxes, h: int, w: int, ps: int,
-                       bucket: int = 128, full_frac: float = 0.9):
+                       bucket: int = 128, full_frac: float = 0.9,
+                       support_bbox=None):
     """Crop window for UPLOADING a masked tiled frame (crop_upload).
 
     The tiled program only ever reads the frame inside the tile gather
     footprint — make_frame_fn's gather reads EXACTLY the ps x ps window
     centered on each (possibly short) box: rows [y0-hoff, y0-hoff+ps)
-    with hoff = (ps-(y1-y0))//2, same for columns — and the composite can
-    only differ from the input inside the mask support, which the tile
-    union covers. So cropping frame+mask to the read-union window BEFORE
-    upload, running the same program on the small domain (tile boxes
-    shifted by the crop origin), and pasting the output back into the
-    input bytes host-side is BIT-IDENTICAL to the full-frame dispatch:
-    reads beyond the window are zero-pad in both domains (outside the
-    frame) or never happen.
+    with hoff = (ps-(y1-y0))//2, same for columns. The window is the
+    union of that read footprint AND the mask-support bbox
+    (``support_bbox``): tile placement stride-samples the nonzero list,
+    so isolated speckle mask pixels can fall outside every tile — under
+    the full-frame dispatch they composite to the zero canvas (uint8
+    gray), and the host-side paste outside the window would instead keep
+    the input bytes. With the support inside the window, every pixel the
+    composite can touch is computed by the SAME program arithmetic, so
+    cropping frame+mask to the window BEFORE upload, running the program
+    on the small domain (tile boxes shifted by the crop origin), and
+    pasting the output back into the input bytes host-side is
+    BIT-IDENTICAL to the full-frame dispatch: reads beyond the window
+    are zero-pad in both domains (outside the frame) or never happen,
+    and outside the window the mask is zero (composite == input bytes).
 
     Window dims bucket up to ``bucket``-multiples (clipped to the frame)
     so mask drift across a shot reuses one compiled program; the origin
@@ -539,6 +559,9 @@ def upload_crop_window(boxes, h: int, w: int, ps: int,
         woff = (ps - (x1b - x0b)) // 2
         rd.append((y0b - hoff, y0b - hoff + ps,
                    x0b - woff, x0b - woff + ps))
+    if support_bbox is not None and support_bbox[1] > support_bbox[0]:
+        sy0, sy1, sx0, sx1 = support_bbox
+        rd.append((sy0, sy1, sx0, sx1))
     uy0 = max(0, min(r[0] for r in rd))
     uy1 = min(h, max(r[1] for r in rd))
     ux0 = max(0, min(r[2] for r in rd))
@@ -707,6 +730,15 @@ class StyleTransferInference:
         self._load_data_config()
         self._setup_model()
         self._frame_fns: Dict[Tuple[int, int, int, int], Any] = {}
+        # Device-resident (packed boxes, Gaussian weights) keyed by the
+        # exact tile-box layout: the weights table is bucket*ps*ps fp32
+        # (13 MB at bucket 512) and tile boxes recur EXACTLY for static
+        # masks — including the maskless streaming workload, where every
+        # frame tiles identically — so re-uploading it per dispatch rode
+        # the transport-capped wire for nothing (review r3). Small FIFO:
+        # a shot holds one or a few distinct layouts.
+        self._pack_cache: Dict[Any, Any] = {}
+        self._pack_cache_cap = 8
 
     # ------------------------------------------------------------------
 
@@ -725,7 +757,7 @@ class StyleTransferInference:
             cdir = Path(path)
             if not cdir.exists():
                 raise FileNotFoundError(f"Channel directory not found: {cdir}")
-            samples = list(cdir.glob("*.[pj][np][g]"))
+            samples = _image_files(cdir)
             if not samples:
                 raise FileNotFoundError(f"No images found in {path}")
             actual = len(Image.open(samples[0]).getbands())
@@ -843,6 +875,20 @@ class StyleTransferInference:
             f"int8 serving: calibrated {n} activation scales on the "
             "first frame")
 
+    def _packed_cached(self, key, build):
+        """Device-resident packed (boxes, weights) for a tile layout.
+
+        ``build`` returns host arrays; the uploaded jnp arrays are cached
+        so repeated layouts (static masks, the maskless full-frame grid)
+        skip the multi-MB weights H2D on every later dispatch."""
+        hit = self._pack_cache.get(key)
+        if hit is None:
+            hit = tuple(jnp.asarray(a) for a in build())
+            if len(self._pack_cache) >= self._pack_cache_cap:
+                self._pack_cache.pop(next(iter(self._pack_cache)))
+            self._pack_cache[key] = hit
+        return hit
+
     def _stylize_device(
         self,
         frame: np.ndarray,                 # (H,W,C) fp32 [-1,1]
@@ -872,10 +918,12 @@ class StyleTransferInference:
                 self.overlap_percent if overlap_percent is None
                 else overlap_percent)
         bucket = bucket_size(max(1, len(boxes)))
-        packed_boxes, weights, _ = pack_boxes(boxes, self.patch_size, bucket)
+        packed_boxes, weights = self._packed_cached(
+            ("single", tuple(map(tuple, boxes)), bucket),
+            lambda: pack_boxes(boxes, self.patch_size, bucket)[:2])
         fn = self._frame_fn(h, w, c, bucket)
         u8, out_float = fn(self.g_vars, jnp.asarray(frame),
-                           jnp.asarray(packed_boxes), jnp.asarray(weights),
+                           packed_boxes, weights,
                            jnp.asarray(self._mask_wire(mask)))
         return u8, out_float, boxes
 
@@ -1077,7 +1125,7 @@ class StyleTransferInference:
         while True:
             now = _time.time()
             new = []
-            for p in sorted(input_dir.glob("*.[pj][np][g]")):
+            for p in _image_files(input_dir):
                 if p.name in done or (output_dir / p.name).exists():
                     if self.temporal_enabled:
                         # already-stylized frames are stream members even
@@ -1190,7 +1238,7 @@ class StyleTransferInference:
 
         explicit_files = files is not None
         if files is None:
-            files = sorted(input_dir.glob("*.[pj][np][g]"))
+            files = _image_files(input_dir)
 
         # Multi-host pod streaming: per-frame stylization is stateless, so
         # hosts need NO communication — each worker takes a round-robin
@@ -1247,8 +1295,12 @@ class StyleTransferInference:
                 self.patch_size, self.overlap_percent)
             cropwin = None
             if crop_up and mask is not None:
+                # the mask-support bbox rides along: stride-sampled tile
+                # placement can skip speckle pixels, and those must land
+                # inside the window for bit-parity (upload_crop_window)
                 cropwin = upload_crop_window(boxes, *frame.shape[:2],
-                                             self.patch_size)
+                                             self.patch_size,
+                                             support_bbox=mbox)
             if cropwin is not None:
                 # crop frame+mask to the window BEFORE upload and shift
                 # the tile boxes into window coordinates — bit-identical
@@ -1439,8 +1491,15 @@ class StyleTransferInference:
                     # group at ONE shape: upload-cropped windows bucket to
                     # 128-multiples so a stable mask reuses one shape, but
                     # when the window (or a maskless frame) changes shape,
-                    # flush the in-progress group first
-                    if group and group[0][0].shape != frame.shape:
+                    # flush the in-progress group first. Crop-ness must
+                    # also match: dispatch_group treats the whole group as
+                    # cropped iff its FIRST member is, so an upload-cropped
+                    # window and an uncropped full frame of coincidentally
+                    # equal dims must never share a group (the paste would
+                    # use the wrong coordinate space).
+                    if group and (group[0][0].shape != frame.shape
+                                  or (group[0][6] is None)
+                                  != (cropwin is None)):
                         flush_group()
                     group.append((frame, eff_mask, boxes, input_path,
                                   rgb_u8, mbox, cropwin))
@@ -1526,11 +1585,25 @@ class StyleTransferInference:
         chunks = [group_boxes[i * fpd:(i + 1) * fpd] for i in range(D)]
         bucket = bucket_size(
             max(1, max(sum(len(b) for b in ch) for ch in chunks)))
-        fb = np.zeros((D, bucket, 5), np.int32)
-        wts = np.zeros((D, bucket, self.patch_size, self.patch_size),
-                       np.float32)
-        for i, ch in enumerate(chunks):
-            fb[i], wts[i], _ = pack_boxes_multi(ch, self.patch_size, bucket)
+
+        def build_pod_pack():
+            fb = np.zeros((D, bucket, 5), np.int32)
+            wts = np.zeros((D, bucket, self.patch_size, self.patch_size),
+                           np.float32)
+            for i, ch in enumerate(chunks):
+                fb[i], wts[i], _ = pack_boxes_multi(ch, self.patch_size,
+                                                    bucket)
+            return jax.device_put(fb, sh), jax.device_put(wts, sh)
+
+        pkey = ("pod", tuple(tuple(tuple(b) for b in ch) for ch in chunks),
+                bucket, D, fpd)
+        hit = self._pack_cache.get(pkey)
+        if hit is None:
+            hit = build_pod_pack()
+            if len(self._pack_cache) >= self._pack_cache_cap:
+                self._pack_cache.pop(next(iter(self._pack_cache)))
+            self._pack_cache[pkey] = hit
+        fb_dev, wts_dev = hit
         key = ("podmf", D, fpd, h, w, c, bucket)
         if key not in self._frame_fns:
             self._frame_fns[key] = make_pod_multiframe_fn(
@@ -1542,8 +1615,7 @@ class StyleTransferInference:
             u8, _ = self._frame_fns[key](
                 self._g_vars_sharded,
                 jax.device_put(jnp.asarray(fr), sh),
-                jax.device_put(jnp.asarray(fb), sh),
-                jax.device_put(jnp.asarray(wts), sh),
+                fb_dev, wts_dev,
                 jax.device_put(jnp.asarray(mk), sh))
         return u8.reshape(total, h, w, 3)[:n_real]
 
@@ -1558,8 +1630,11 @@ class StyleTransferInference:
         h, w, c = frames[0].shape
         total = sum(len(b) for b in group_boxes)
         bucket = bucket_size(max(1, total))
-        fboxes, weights, _ = pack_boxes_multi(group_boxes, self.patch_size,
-                                              bucket)
+        fboxes, weights = self._packed_cached(
+            ("group", tuple(tuple(map(tuple, b)) for b in group_boxes),
+             bucket),
+            lambda: pack_boxes_multi(group_boxes, self.patch_size,
+                                     bucket)[:2])
         key = ("multi", f, h, w, c, bucket)
         if key not in self._frame_fns:
             self._frame_fns[key] = make_multiframe_fn(
@@ -1569,15 +1644,28 @@ class StyleTransferInference:
         # (prefetch-thread upload) — np.stack would force a D2H round trip
         u8, out_float = self._frame_fns[key](
             self.g_vars, jnp.stack(frames),
-            jnp.asarray(fboxes), jnp.asarray(weights),
+            fboxes, weights,
             jnp.asarray(self._mask_wire(np.stack(masks))))
         return u8, out_float
 
     def _temporal_register(self, name: str) -> None:
-        """Mark a frame as a member of the temporal stream (idempotent)."""
-        if not hasattr(self, "_temporal_members"):
-            self._temporal_members: set = set()
-        self._temporal_members.add(name)
+        """Mark a frame as a member of the temporal stream (idempotent).
+
+        Guarded by a (lazily created) RLock: the prefetch worker registers
+        frames from load_aux while the main loop sorts the member set in
+        _temporal_position — an unguarded add mid-``sorted()`` raises
+        "set changed size during iteration" and drops the frame."""
+        with self._temporal_lock():
+            self._temporal_members.add(name)
+
+    def _temporal_lock(self):
+        # creation guarded by a module-level lock so two threads can't
+        # each install a different per-engine lock
+        with _TEMPORAL_LOCK_INIT:
+            if not hasattr(self, "_temporal_members_lock"):
+                self._temporal_members_lock = threading.RLock()
+                self._temporal_members: set = set()
+        return self._temporal_members_lock
 
     def _temporal_position(self, name: str) -> int:
         """Global stream position of a frame: its rank in the sorted set of
@@ -1597,8 +1685,9 @@ class StyleTransferInference:
         every later frame onto the wrong flow (review r3). A member whose
         name sorts before an already-processed frame arriving late shifts
         only FUTURE positions — toward the true final-list index."""
-        StyleTransferInference._temporal_register(self, name)
-        members = sorted(self._temporal_members)
+        with self._temporal_lock():
+            self._temporal_members.add(name)
+            members = sorted(self._temporal_members)
         return members.index(name)
 
     def _process_directory_temporal(self, files, load_one, output_dir,
@@ -1766,7 +1855,11 @@ class StyleTransferInference:
                     prev_in, flow_in = prev_float, None
                 full = _temporal_prep(fdev, prev_in, flow_in,
                                       self.temporal_depth)
-                u8, out_float, boxes = self._stylize_device(full, mask)
+                # reuse the tile boxes the prefetch thread already walked
+                # (load_one) instead of re-running the nonzero scan on the
+                # sequential chain's critical path
+                u8, out_float, boxes = self._stylize_device(
+                    full, mask, boxes=_boxes)
                 prev_float = out_float
                 if device_flow:
                     prev_gray = gray
@@ -1811,11 +1904,11 @@ class StyleTransferInference:
     def _detect_streams(self, input_dir: Path) -> List[str]:
         """Subdirectory-per-video layout for multi-stream temporal serving:
         input_dir holds no images itself but >= 1 subdirectory that does."""
-        if sorted(input_dir.glob("*.[pj][np][g]")):
+        if _image_files(input_dir):
             return []
         return sorted(
             d.name for d in input_dir.iterdir()
-            if d.is_dir() and sorted(d.glob("*.[pj][np][g]")))
+            if d.is_dir() and _image_files(d))
 
     def _ms_info(self, name: str, files, mask_dir: Path, flow_root):
         """Per-stream serving state: the file queue, per-stream aux dirs,
@@ -1869,7 +1962,13 @@ class StyleTransferInference:
                 aux = np.load(str(fp))
                 if self.temporal_flow_f16 and aux.dtype != np.float16:
                     aux = aux.astype(np.float16)
-        return frame, mask, rgb_u8, mbox, aux, p.name
+        # tile layout on the worker thread too — the nonzero walk is pure
+        # host work that has no place on the sequential cycle thread
+        eff = mask if mask is not None else np.ones(frame.shape[:2],
+                                                    np.float32)
+        boxes = tile_boxes_from_mask(eff, self.patch_size,
+                                     self.overlap_percent)
+        return frame, mask, rgb_u8, mbox, aux, p.name, eff, boxes
 
     def _ms_run_cycles(self, infos, writer, load_pool, fetch_pool,
                        output_dir: Path, shape_ref,
@@ -1928,7 +2027,8 @@ class StyleTransferInference:
             batch = []
             for info, fut in subs:
                 try:
-                    frame, mask, rgb_u8, mbox, aux, fname = fut.result()
+                    (frame, mask, rgb_u8, mbox, aux, fname, eff,
+                     boxes) = fut.result()
                     if shape_ref[0] is None:
                         shape_ref[0] = frame.shape
                     elif frame.shape != shape_ref[0]:
@@ -1964,10 +2064,6 @@ class StyleTransferInference:
                             prev_in, flow_in = info["prev"], None
                     full = _temporal_prep(fdev, prev_in, flow_in,
                                           self.temporal_depth)
-                    eff = mask if mask is not None else np.ones(
-                        frame.shape[:2], np.float32)
-                    boxes = tile_boxes_from_mask(
-                        eff, self.patch_size, self.overlap_percent)
                     batch.append((info, full, eff, boxes, rgb_u8, mbox,
                                   gray, fname))
                 except Exception as e:
@@ -2056,7 +2152,7 @@ class StyleTransferInference:
 
         infos = []
         for s in streams:
-            files = sorted((input_dir / s).glob("*.[pj][np][g]"))
+            files = _image_files(input_dir / s)
             infos.append(self._ms_info(s, files, mask_dir, flow_root))
             (output_dir / s).mkdir(parents=True, exist_ok=True)
         total = sum(len(i["files"]) for i in infos)
@@ -2157,7 +2253,7 @@ class StyleTransferInference:
                     info = self._ms_info(s, [], mask_dir, flow_root)
                     (output_dir / s).mkdir(parents=True, exist_ok=True)
                     prior = {q.name for q in
-                             (output_dir / s).glob("*.[pj][np][g]")}
+                             _image_files(output_dir / s)}
                     info["members"] |= prior  # keep restart positions
                     done[s] = set(prior)
                     infos[s] = info
@@ -2168,7 +2264,7 @@ class StyleTransferInference:
                 new_total = 0
                 for s, info in infos.items():
                     fresh = []
-                    for p in sorted((input_dir / s).glob("*.[pj][np][g]")):
+                    for p in _image_files(input_dir / s):
                         if p.name in done[s] \
                                 or (output_dir / s / p.name).exists():
                             info["members"].add(p.name)

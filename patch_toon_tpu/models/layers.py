@@ -225,7 +225,14 @@ class QuantConv(nn.Module):
                 precision=resolve_mxu_precision(self.conv_precision,
                                                 self.dtype))
         elif self.mode == "int8":
-            s = jnp.maximum(a_scale.value, 1e-12) / 127.0
+            # Never-calibrated guard: a_scale's zeros init would clamp to
+            # 1e-12 and quantize every activation to +/-127 (garbage, and
+            # silent — this runs under jit, so raising isn't possible).
+            # Fall back to a per-batch dynamic scale instead: numerically
+            # sane for callers that skip the engine's calib pass.
+            dyn = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            eff = jnp.where(a_scale.value > 0, a_scale.value, dyn)
+            s = jnp.maximum(eff, 1e-12) / 127.0
             xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
                           -127, 127).astype(jnp.int8)
             w_amax = jnp.maximum(
