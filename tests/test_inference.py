@@ -684,6 +684,76 @@ def test_crop_upload_moving_mask_flushes_groups(tmp_path):
                               np.asarray(Image.open(pb))), pa.name
 
 
+def test_crop_upload_speckle_mask_byte_identical(tmp_path):
+    """An eroded-mask pixel that the stride-sampled tile walk SKIPS (no
+    tile covers it) must still land inside the upload window: under the
+    full-frame dispatch it composites the zero blend canvas (uint8 gray),
+    and a window that excluded it would paste input bytes there instead —
+    the exact bit-parity hole the mask-support union closes (review r3).
+
+    Construction: blob A erodes to 34x58 = 1972 pixels; blob B is a 7x7
+    square whose single full-support survivor (350,350) gets eroded-list
+    index 1972 (1972 % 11 != 0, so the stride-11 walk skips it) and sits
+    ~270 px from every blob-A tile."""
+    from patch_toon_tpu.train import StyleTransferModel
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+    from patch_toon_tpu.ops.masks import erode_full_support_np
+
+    h, w = 384, 640
+    rng = np.random.default_rng(11)
+    scene = tmp_path / "scene"
+    for sub in ("input", "mask"):
+        (scene / sub).mkdir(parents=True, exist_ok=True)
+    img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((h, w), np.uint8)
+    mask[40:80, 40:104] = 255       # blob A: erodes to [43:77, 43:101]
+    mask[347:354, 347:354] = 255    # blob B: erodes to the single (350,350)
+    Image.fromarray(img).save(scene / "input" / "000.png")
+    Image.fromarray(mask).save(scene / "mask" / "000.png")
+    # the survivor really is in the composite mask but got no tile
+    # (engine semantics: tiles walk the ERODED mask's nonzero list)
+    from patch_toon_tpu.infer.tiling import tile_boxes_from_mask
+    eroded = erode_full_support_np((mask > 128).astype(np.float32))
+    assert eroded[350, 350] == 1.0
+    boxes = tile_boxes_from_mask(eroded, 16, 30.0)
+    assert not any(b[0] <= 350 < b[1] and b[2] <= 350 < b[3]
+                   for b in boxes)
+
+    g_args = dict(input_channels=3, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=1,
+                  filters=[4, 8, 8, 8, 8, 4], norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=16, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    CheckpointManager(
+        tmp_path / "ckpt",
+        meta={"input_channels": 3, "generator_args": g_args,
+              "patch_size": 16}).save(state, epoch=0, score=1.0)
+
+    engines = {}
+    for cu in ("auto", "off"):
+        engines[cu] = _run_crop_upload(
+            tmp_path, scene, f"sp_{cu}",
+            [f"inference.crop_upload={cu}",
+             *([] if cu == "auto" else ["inference.crop_readback=off"])])
+    win = engines["auto"]._last_crop
+    if win is not None:  # window engaged: must be smaller than the frame
+        y0, y1, x0, x1 = win
+        assert (y1 - y0) * (x1 - x0) < h * w
+    a = np.asarray(Image.open(tmp_path / "styl_sp_auto" / "000.png"))
+    b = np.asarray(Image.open(tmp_path / "styl_sp_off" / "000.png"))
+    assert np.array_equal(a, b)
+    # and the speckle pixel really is gray-composited, i.e. the case is live
+    assert not np.array_equal(b[350, 350], img[350, 350])
+
+
 def test_crop_upload_window_covers_all_reads():
     """upload_crop_window must cover the exact gather read union (centered
     short boxes included) so the cropped dispatch is bit-identical."""
