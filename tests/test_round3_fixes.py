@@ -67,7 +67,14 @@ def test_compute_crop_bbox():
 def test_temporal_stream_positions_rank_based():
     from patch_toon_tpu.infer.engine import StyleTransferInference
 
-    eng = SimpleNamespace(temporal_format="%03d")
+    # bare instances (no __init__): the real methods, including the lazily
+    # created per-engine member-set lock, must work on a fresh engine
+    def bare():
+        e = object.__new__(StyleTransferInference)
+        e.temporal_format = "%03d"
+        return e
+
+    eng = bare()
     reg = StyleTransferInference._temporal_register
     pos = StyleTransferInference._temporal_position
     # positions are the rank in the sorted member set (flow files index by
@@ -79,14 +86,14 @@ def test_temporal_stream_positions_rank_based():
     assert pos(eng, "zz.png") == 2
     # watch-restart scenario: already-stylized frames registered from their
     # outputs seed the member set, so a late frame continues correctly
-    eng2 = SimpleNamespace(temporal_format="%03d")
+    eng2 = bare()
     for n in ("001.png", "002.png", "003.png"):  # outputs already on disk
         reg(eng2, n)
     assert pos(eng2, "004.png") == 3  # NOT 0 (the pre-fix bug)
     # transient-file scenario (review r3): a half-written file that watch
     # mode never settles is never registered, so it cannot shift later
     # frames onto the wrong flow — only settled members get positions
-    eng3 = SimpleNamespace(temporal_format="%03d")
+    eng3 = bare()
     reg(eng3, "001.png")
     # "001a.tmp.png" appears in a glob but never settles: NOT registered
     assert pos(eng3, "002.png") == 1
