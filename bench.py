@@ -23,6 +23,26 @@ import time
 import numpy as np
 
 
+def _submit_frames(fetch_pool, in_flight: list, o, window: int = 8) -> None:
+    """Queue per-FRAME slice fetches of a batched (F, h, w, 3) output and
+    bound the in-flight window (counted in frames).
+
+    Mirrors the engine's drain (infer/engine.py dispatch_group): slicing
+    the group output into F device arrays multiplies concurrent wire
+    streams and restores 1-frame granularity at fpd>1 — measured 3.7x
+    streaming vs a whole-group fetch on a contended tunnel
+    (tools/profile_sliced_fetch.py)."""
+    for k in range(o.shape[0]):
+        s = o[k]
+        try:
+            s.copy_to_host_async()
+        except Exception:
+            pass
+        in_flight.append(fetch_pool.submit(np.asarray, s))
+    while len(in_flight) > window:
+        in_flight.pop(0).result()
+
+
 def bench_inference(frames: int = 30) -> dict:
     """Tiled (reference-parity) mode: streaming AND compute-only rates.
 
@@ -119,13 +139,7 @@ def bench_inference(frames: int = 30) -> dict:
             in_flight = []
             for i in range(dispatches):
                 o, _ = fn(g_vars, frame_batch[i % 3], *args)
-                try:
-                    o.copy_to_host_async()
-                except Exception:
-                    pass
-                in_flight.append(fetch_pool.submit(np.asarray, o))
-                if len(in_flight) > 7:
-                    in_flight.pop(0).result()
+                _submit_frames(fetch_pool, in_flight, o)
             for f in in_flight:
                 f.result()
             return dispatches * fpd / (time.perf_counter() - t0)
@@ -185,13 +199,7 @@ def bench_inference(frames: int = 30) -> dict:
             o, _ = fn2(g_vars, mframes[i % 3], fb2_dev, wts2_dev, m2_j)
             if crop:
                 o = o[:, y0:y1, x0:x1]
-            try:
-                o.copy_to_host_async()
-            except Exception:
-                pass
-            in_flight.append(fetch_pool.submit(np.asarray, o))
-            if len(in_flight) > 7:
-                in_flight.pop(0).result()
+            _submit_frames(fetch_pool, in_flight, o)
         for f in in_flight:
             f.result()
         return dispatches * fpd2 / (time.perf_counter() - t0)
@@ -247,13 +255,7 @@ def bench_inference(frames: int = 30) -> dict:
                 o, _ = fn2(g_vars, jnp.asarray(hosts[i % 3]),
                            fb2_j, wts2_j, mk_full)
                 o = o[:, y0:y1, x0:x1]
-            try:
-                o.copy_to_host_async()
-            except Exception:
-                pass
-            in_flight.append(fetch_pool.submit(np.asarray, o))
-            if len(in_flight) > 7:
-                in_flight.pop(0).result()
+            _submit_frames(fetch_pool, in_flight, o)
         for f in in_flight:
             f.result()
         return dispatches * fpd2 / (time.perf_counter() - t0)

@@ -1320,8 +1320,9 @@ class StyleTransferInference:
                 frame = jax.device_put(frame)
             return frame, mask, rgb_u8, mbox, boxes, cropwin
 
-        # (fetch Future, per-frame tile boxes, save paths, crop info)
-        in_flight: List[Tuple[Any, List[List[Box]], List[Path], Any]] = []
+        # (per-frame fetch Futures, per-frame tile boxes, save paths, crop)
+        in_flight: List[Tuple[List[Any], List[List[Box]], List[Path],
+                              Any]] = []
         writer = FrameWriter(num_threads=2)
 
         if self.temporal_enabled:
@@ -1341,22 +1342,28 @@ class StyleTransferInference:
         fetch_pool = ThreadPoolExecutor(max_workers=self.readback_streams)
 
         def drain_one():
-            fut, group_boxes, save_paths, crop = in_flight.pop(0)
-            try:
-                arr = fut.result()  # (F, H, W, 3) or cropped (F, bh, bw, 3)
-            except Exception as e:
-                # name every frame the failed fetch drops, not "a group"
-                names = ", ".join(p.name for p in save_paths)
-                raise RuntimeError(
-                    f"readback failed for [{names}]: {e}") from e
+            futs, group_boxes, save_paths, crop = in_flight.pop(0)
             for k, save_path in enumerate(save_paths):
+                try:
+                    img = futs[k].result()  # (H, W, 3) or cropped (bh,bw,3)
+                except Exception as e:
+                    # drain the group's OTHER frames before surfacing the
+                    # error — they are independent transfers
+                    for f in futs[k + 1:]:
+                        try:
+                            f.result()
+                        except Exception:
+                            pass
+                    raise RuntimeError(
+                        f"readback failed for {save_path.name} (group "
+                        f"[{', '.join(p.name for p in save_paths)}]): {e}"
+                    ) from e
                 if crop is not None:
                     bboxes, rgb_u8s = crop  # per-frame paste windows
                     y0, y1, x0, x1 = bboxes[k]
-                    img = rgb_u8s[k].copy()
-                    img[y0:y1, x0:x1] = arr[k]
-                else:
-                    img = arr[k]
+                    full = rgb_u8s[k].copy()
+                    full[y0:y1, x0:x1] = img
+                    img = full
                 writer.submit(str(save_path), img)
                 if self.debug_mode:
                     self.patch_positions = group_boxes[k]
@@ -1401,11 +1408,20 @@ class StyleTransferInference:
                     y0, y1, x0, x1 = bbox
                     out = out[:, y0:y1, x0:x1]
                     crop = ([bbox] * len(group), [g[4] for g in group])
-            try:
-                out.copy_to_host_async()
-            except Exception:
-                pass
-            in_flight.append((fetch_pool.submit(np.asarray, out),
+            # fetch PER FRAME, not per group: slicing the (F, h, w, 3)
+            # output into F device arrays multiplies concurrent wire
+            # streams (the tunnel multiplexes ~2x at 6 streams) and
+            # restores 1-frame granularity at fpd>1 — measured 3.7x
+            # streaming vs the whole-group fetch on a contended tunnel
+            # (tools/profile_sliced_fetch.py, docs/perf/sliced_fetch_r3)
+            slices = [out[k] for k in range(out.shape[0])]
+            for s in slices:
+                try:
+                    s.copy_to_host_async()
+                except Exception:
+                    pass
+            in_flight.append(([fetch_pool.submit(np.asarray, s)
+                               for s in slices],
                               group_boxes, paths, crop))
             # window deep enough to keep readback_streams transfers truly
             # concurrent while the device runs ahead one dispatch
