@@ -1791,7 +1791,9 @@ class StyleTransferInference:
         # drain can't apply — instead each frame's readback is split into
         # row bands fetched by concurrent threads (intra-frame slicing
         # measured ~1.3x a single stream; tools/profile_transport.py).
-        K = max(1, min(4, self.readback_streams))
+        # use the full stream budget: 6 concurrent streams measured 2.1x a
+        # single stream vs 1.8x at 4 (tools/profile_transport.py)
+        K = max(1, self.readback_streams)
         fetch_pool = ThreadPoolExecutor(max_workers=K)
 
         def submit_fetch(u8):
