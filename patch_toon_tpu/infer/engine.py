@@ -1343,21 +1343,14 @@ class StyleTransferInference:
 
         def drain_one():
             futs, group_boxes, save_paths, crop = in_flight.pop(0)
+            failed = []  # (name, error) — the transfers are independent,
+            # so one frame's failure must not drop its siblings' data
             for k, save_path in enumerate(save_paths):
                 try:
                     img = futs[k].result()  # (H, W, 3) or cropped (bh,bw,3)
                 except Exception as e:
-                    # drain the group's OTHER frames before surfacing the
-                    # error — they are independent transfers
-                    for f in futs[k + 1:]:
-                        try:
-                            f.result()
-                        except Exception:
-                            pass
-                    raise RuntimeError(
-                        f"readback failed for {save_path.name} (group "
-                        f"[{', '.join(p.name for p in save_paths)}]): {e}"
-                    ) from e
+                    failed.append((save_path.name, e))
+                    continue
                 if crop is not None:
                     bboxes, rgb_u8s = crop  # per-frame paste windows
                     y0, y1, x0, x1 = bboxes[k]
@@ -1368,6 +1361,11 @@ class StyleTransferInference:
                 if self.debug_mode:
                     self.patch_positions = group_boxes[k]
                     self._save_debug_overlay(img, str(save_path))
+            if failed:
+                names = ", ".join(n for n, _ in failed)
+                raise RuntimeError(
+                    f"readback failed for [{names}]: {failed[0][1]}"
+                ) from failed[0][1]
 
         def crop_bbox(mask_boxes, h, w):
             if not self.crop_readback:
@@ -1423,15 +1421,18 @@ class StyleTransferInference:
             in_flight.append(([fetch_pool.submit(np.asarray, s)
                                for s in slices],
                               group_boxes, paths, crop))
-            # window deep enough to keep readback_streams transfers truly
-            # concurrent while the device runs ahead one dispatch
-            if len(in_flight) > self.readback_streams + 1:
+            # window counted in FRAMES (the fetch unit), deep enough to
+            # keep readback_streams transfers truly concurrent while the
+            # device runs ahead — the measured configuration
+            # (tools/profile_sliced_fetch.py, bench._submit_frames)
+            while sum(len(g[0]) for g in in_flight) > \
+                    self.readback_streams + 2 and len(in_flight) > 1:
                 try:
                     drain_one()
                 except Exception as e:
                     # a deferred device error belongs to the DRAINED group
                     # (already popped), not the group just dispatched
-                    self.logger.error(f"Readback failed for a group: {e}")
+                    self.logger.error(f"Readback failed: {e}")
 
         group: List[Any] = []
 
@@ -1791,9 +1792,12 @@ class StyleTransferInference:
         # drain can't apply — instead each frame's readback is split into
         # row bands fetched by concurrent threads (intra-frame slicing
         # measured ~1.3x a single stream; tools/profile_transport.py).
-        # use the full stream budget: 6 concurrent streams measured 2.1x a
-        # single stream vs 1.8x at 4 (tools/profile_transport.py)
-        K = max(1, self.readback_streams)
+        # K=4 is the measured configuration for INTRA-frame banding (~1.3x
+        # one stream; tools/profile_transport.py slice4 rows) — row bands
+        # of one frame do not multiplex like independent whole-frame
+        # fetches, and smaller bands pay more per-RPC overhead, so the
+        # 6-stream whole-frame numbers do not transfer here
+        K = max(1, min(4, self.readback_streams))
         fetch_pool = ThreadPoolExecutor(max_workers=K)
 
         def submit_fetch(u8):

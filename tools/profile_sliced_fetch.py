@@ -55,12 +55,13 @@ def main() -> None:
 
     results = {}
 
-    for fpd, mode in (
-        (1, "group"),          # bench headline baseline
-        (3, "group"),          # bench fpd3 baseline (one 4.2 MB fetch)
-        (3, "frame"),          # per-frame slices: 3 x 1.4 MB streams
-        (3, "band2"),          # per-frame, 2 row bands: 6 x 0.7 MB streams
-    ):
+    built = {}  # fpd -> (fn, fb_dev, wts_dev, mask_j, frame_batch);
+    # `mode` only changes host-side slicing, so each fpd's program
+    # compiles once (a first tunnel compile can take 100s+)
+
+    def build(fpd):
+        if fpd in built:
+            return built[fpd]
         bucket = bucket_size(fpd * len(boxes))
         fb, wts, _ = pack_boxes_multi([boxes] * fpd, ps, bucket)
         fn = make_multiframe_fn(gen, ps, bucket, fpd, h, w, c, jnp.bfloat16,
@@ -72,6 +73,16 @@ def main() -> None:
         for i in range(3):
             np.asarray(fn(g_vars, frame_batch[i % 3], fb_dev, wts_dev,
                           mask_j)[0])
+        built[fpd] = (fn, fb_dev, wts_dev, mask_j, frame_batch)
+        return built[fpd]
+
+    for fpd, mode in (
+        (1, "group"),          # bench headline baseline
+        (3, "group"),          # bench fpd3 baseline (one 4.2 MB fetch)
+        (3, "frame"),          # per-frame slices: 3 x 1.4 MB streams
+        (3, "band2"),          # per-frame, 2 row bands: 6 x 0.7 MB streams
+    ):
+        fn, fb_dev, wts_dev, mask_j, frame_batch = build(fpd)
 
         fetch_pool = ThreadPoolExecutor(max_workers=6)
 
