@@ -33,6 +33,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--sweep-workers", type=str, default=None,
+                    help="comma list of fetch-pool sizes; runs ONLY the "
+                         "fpd3 per-frame variant at each size (one compile)")
     args = ap.parse_args()
 
     import jax
@@ -76,15 +79,20 @@ def main() -> None:
         built[fpd] = (fn, fb_dev, wts_dev, mask_j, frame_batch)
         return built[fpd]
 
-    for fpd, mode in (
-        (1, "group"),          # bench headline baseline
-        (3, "group"),          # bench fpd3 baseline (one 4.2 MB fetch)
-        (3, "frame"),          # per-frame slices: 3 x 1.4 MB streams
-        (3, "band2"),          # per-frame, 2 row bands: 6 x 0.7 MB streams
-    ):
+    if args.sweep_workers:
+        variants = [(3, "frame", int(n))
+                    for n in args.sweep_workers.split(",")]
+    else:
+        variants = [
+            (1, "group", 6),   # bench headline baseline
+            (3, "group", 6),   # bench fpd3 baseline (one 4.2 MB fetch)
+            (3, "frame", 6),   # per-frame slices: 3 x 1.4 MB streams
+            (3, "band2", 6),   # per-frame, 2 row bands: 6 x 0.7 MB streams
+        ]
+    for fpd, mode, workers in variants:
         fn, fb_dev, wts_dev, mask_j, frame_batch = build(fpd)
 
-        fetch_pool = ThreadPoolExecutor(max_workers=6)
+        fetch_pool = ThreadPoolExecutor(max_workers=workers)
 
         def pieces(o):
             if mode == "group":
@@ -119,8 +127,11 @@ def main() -> None:
             return dispatches * fpd / (time.perf_counter() - t0)
 
         fps = max(one_window() for _ in range(args.windows))
-        results[f"fpd{fpd}_{mode}"] = round(fps, 2)
-        print(f"fpd={fpd} mode={mode:6s}: {fps:6.2f} fps", flush=True)
+        key = (f"fpd{fpd}_{mode}" if workers == 6
+               else f"fpd{fpd}_{mode}_w{workers}")
+        results[key] = round(fps, 2)
+        print(f"fpd={fpd} mode={mode:6s} workers={workers}: "
+              f"{fps:6.2f} fps", flush=True)
         fetch_pool.shutdown(wait=True)
 
     print(results)
