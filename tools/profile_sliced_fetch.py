@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--sweep-workers", type=str, default=None,
                     help="comma list of fetch-pool sizes; runs ONLY the "
                          "fpd3 per-frame variant at each size (one compile)")
+    ap.add_argument("--sweep-window", type=str, default=None,
+                    help="comma list of in-flight group depths; runs ONLY "
+                         "the fpd3 per-frame variant at 6 workers")
     args = ap.parse_args()
 
     import jax
@@ -80,16 +83,19 @@ def main() -> None:
         return built[fpd]
 
     if args.sweep_workers:
-        variants = [(3, "frame", int(n))
+        variants = [(3, "frame", int(n), None)
                     for n in args.sweep_workers.split(",")]
+    elif args.sweep_window:
+        variants = [(3, "frame", 6, int(n))
+                    for n in args.sweep_window.split(",")]
     else:
         variants = [
-            (1, "group", 6),   # bench headline baseline
-            (3, "group", 6),   # bench fpd3 baseline (one 4.2 MB fetch)
-            (3, "frame", 6),   # per-frame slices: 3 x 1.4 MB streams
-            (3, "band2", 6),   # per-frame, 2 row bands: 6 x 0.7 MB streams
+            (1, "group", 6, None),  # bench headline baseline
+            (3, "group", 6, None),  # bench fpd3 baseline (one 4.2 MB fetch)
+            (3, "frame", 6, None),  # per-frame slices: 3 x 1.4 MB streams
+            (3, "band2", 6, None),  # per-frame, 2 bands: 6 x 0.7 MB streams
         ]
-    for fpd, mode, workers in variants:
+    for fpd, mode, workers, depth in variants:
         fn, fb_dev, wts_dev, mask_j, frame_batch = build(fpd)
 
         fetch_pool = ThreadPoolExecutor(max_workers=workers)
@@ -118,7 +124,7 @@ def main() -> None:
                         pass
                 in_flight.append([fetch_pool.submit(np.asarray, p)
                                   for p in ps_])
-                if len(in_flight) > max(1, 7 // fpd):
+                if len(in_flight) > (depth or max(1, 7 // fpd)):
                     for f in in_flight.pop(0):
                         f.result()
             for fs in in_flight:
@@ -127,11 +133,15 @@ def main() -> None:
             return dispatches * fpd / (time.perf_counter() - t0)
 
         fps = max(one_window() for _ in range(args.windows))
-        key = (f"fpd{fpd}_{mode}" if workers == 6
-               else f"fpd{fpd}_{mode}_w{workers}")
+        key = f"fpd{fpd}_{mode}"
+        if workers != 6:
+            key += f"_w{workers}"
+        if depth is not None:
+            key += f"_d{depth}"
         results[key] = round(fps, 2)
-        print(f"fpd={fpd} mode={mode:6s} workers={workers}: "
-              f"{fps:6.2f} fps", flush=True)
+        print(f"fpd={fpd} mode={mode:6s} workers={workers} "
+              f"depth={depth or max(1, 7 // fpd)}: {fps:6.2f} fps",
+              flush=True)
         fetch_pool.shutdown(wait=True)
 
     print(results)
