@@ -171,8 +171,15 @@ def _image_files(directory: Path) -> List[Path]:
     """Sorted image Paths in a directory — the SAME extension set the data
     layer accepts (data/io.list_images: .png/.jpg/.jpeg, any case). A bare
     ``glob('*.[pj][np][g]')`` silently missed ``.jpeg`` and uppercase
-    extensions, so inference no-opped on inputs training handled fine."""
-    return [Path(directory) / f for f in list_images(directory)]
+    extensions, so inference no-opped on inputs training handled fine.
+
+    A missing/removed directory returns [] (glob's old semantics): the
+    watch loops call this every poll, and deleting a stream subdirectory
+    mid-watch must make that stream go quiet, not crash the service."""
+    try:
+        return [Path(directory) / f for f in list_images(directory)]
+    except (FileNotFoundError, NotADirectoryError):
+        return []
 
 
 def _composite_u8(rgb, out, mask):
@@ -739,6 +746,11 @@ class StyleTransferInference:
         # a shot holds one or a few distinct layouts.
         self._pack_cache: Dict[Any, Any] = {}
         self._pack_cache_cap = 8
+        # created eagerly so the hot registration path never touches the
+        # module-global init lock (_temporal_lock keeps a lazy fallback
+        # only for bare instances built without __init__ in tests)
+        self._temporal_members_lock = threading.RLock()
+        self._temporal_members: set = set()
 
     # ------------------------------------------------------------------
 
@@ -1362,10 +1374,15 @@ class StyleTransferInference:
                     self.patch_positions = group_boxes[k]
                     self._save_debug_overlay(img, str(save_path))
             if failed:
-                names = ", ".join(n for n, _ in failed)
+                # log EVERY (name, error) pair with its traceback first:
+                # chaining only failed[0] would hide a distinct root cause
+                # when a flaky tunnel fails several fetches differently
+                for n, err in failed:
+                    self.logger.error(f"readback failed for {n}",
+                                      exc_info=err)
+                names = ", ".join(f"{n}: {e!r}" for n, e in failed)
                 raise RuntimeError(
-                    f"readback failed for [{names}]: {failed[0][1]}"
-                ) from failed[0][1]
+                    f"readback failed for [{names}]") from failed[0][1]
 
         def crop_bbox(mask_boxes, h, w):
             if not self.crop_readback:
@@ -1676,12 +1693,15 @@ class StyleTransferInference:
             self._temporal_members.add(name)
 
     def _temporal_lock(self):
-        # creation guarded by a module-level lock so two threads can't
-        # each install a different per-engine lock
-        with _TEMPORAL_LOCK_INIT:
-            if not hasattr(self, "_temporal_members_lock"):
-                self._temporal_members_lock = threading.RLock()
-                self._temporal_members: set = set()
+        # __init__ creates the lock eagerly; this lazy fallback (guarded by
+        # a module-level lock so two threads can't each install a different
+        # per-engine lock) only serves bare instances built without
+        # __init__ in tests — the hot path never takes the global lock
+        if not hasattr(self, "_temporal_members_lock"):
+            with _TEMPORAL_LOCK_INIT:
+                if not hasattr(self, "_temporal_members_lock"):
+                    self._temporal_members_lock = threading.RLock()
+                    self._temporal_members = set()
         return self._temporal_members_lock
 
     def _temporal_position(self, name: str) -> int:
@@ -1928,9 +1948,12 @@ class StyleTransferInference:
         input_dir holds no images itself but >= 1 subdirectory that does."""
         if _image_files(input_dir):
             return []
+        try:
+            subdirs = list(input_dir.iterdir())
+        except (FileNotFoundError, NotADirectoryError):
+            return []  # input dir removed mid-watch: go quiet, don't crash
         return sorted(
-            d.name for d in input_dir.iterdir()
-            if d.is_dir() and _image_files(d))
+            d.name for d in subdirs if d.is_dir() and _image_files(d))
 
     def _ms_info(self, name: str, files, mask_dir: Path, flow_root):
         """Per-stream serving state: the file queue, per-stream aux dirs,
