@@ -492,156 +492,187 @@ def bench_fullframe(frames: int = 30) -> dict:
 
 
 def bench_temporal(frames: int = 16) -> dict:
-    """Temporal-guide serving chain with on-device flow (the flagship
-    beyond-reference capability: ``inference.temporal.flow_source=device``).
+    """Temporal-guide serving with on-device flow — driven through the
+    ENGINE'S OWN cycle helpers, not a re-implementation (VERDICT r3 #5:
+    a hand-rolled bench loop can silently drift from the engine's
+    orchestration, the r2 crop-bbox lesson):
 
-    Per frame, exactly the engine's live-serving loop: upload the uint8 RGB
-    frame, derive the backward flow against the previous frame's device-
-    resident grayscale (_temporal_device_flow: PIL-exact luma + masked
-    pyramidal LK — no precomputed flows, no flow upload), build the
-    6-channel generator input in one fused dispatch (_temporal_prep: warp
-    of the previous stylized output + guide concat), run the tiled parity
-    program, feed the float output back into the chain, and overlap each
-    frame's uint8 readback with the next frame's compute. The chain is
-    inherently sequential (frame i needs frame i-1's output), so this is
-    the per-stream rate; independent streams scale across chips
-    (DEPLOY.md).
+    - streaming:     ``_process_directory_temporal`` — the real serving
+                     loop (lookahead flow window, fused prep, band
+                     fetches) over synthetic in-memory frames (file IO
+                     stubbed: a no-op writer, a synthetic ``load_one``).
+    - compute-only:  dispatch-difference over ``_chain_step`` + the
+                     ``_temporal_flow_window`` lookahead — the same two
+                     helpers the serving loop composes.
+    - multi-stream:  ``_ms_run_cycles`` with ``_ms_load_frame`` stubbed —
+                     the real cycle runner (co-batched flows + generator).
     """
+    import tempfile
     from concurrent.futures import ThreadPoolExecutor
+    from pathlib import Path
 
     import jax
     import jax.numpy as jnp
 
-    from patch_toon_tpu.infer.engine import (
-        _device_gray,
-        _temporal_device_flow,
-        _temporal_prep,
-        make_multiframe_fn,
-    )
-    from patch_toon_tpu.infer.tiling import (
-        bucket_size,
-        pack_boxes_multi,
-        tile_boxes_from_mask,
-    )
-    from patch_toon_tpu.models import GeneratorJ
-    from patch_toon_tpu.utils.xla_options import resolve_xla_options
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer.engine import StyleTransferInference
+    from patch_toon_tpu.infer.temporal import _temporal_flow_window
+    from patch_toon_tpu.infer.tiling import tile_boxes_from_mask
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+    from patch_toon_tpu.train.model import StyleTransferModel
 
-    h, w, c, ps = 512, 910, 6, 80  # 3 RGB + 3 temporal-guide channels
-    gen = GeneratorJ(
-        input_channels=c, use_bias=True, tanh=True, append_smoothers=True,
-        resnet_blocks=7, filters=(32, 64, 128, 128, 128, 64),
-        dtype=jnp.bfloat16,
-    )
-    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, ps, ps, c)))
-    mask = np.ones((h, w), np.float32)
-    boxes = tile_boxes_from_mask(mask, ps, 30.0)
-    bucket = bucket_size(len(boxes))
-    fb, wts, _ = pack_boxes_multi([boxes], ps, bucket)
-    fn = make_multiframe_fn(gen, ps, bucket, 1, h, w, c, jnp.bfloat16,
-                            compiler_options=resolve_xla_options("auto"))
-    fb_j, wts_j = jnp.asarray(fb), jnp.asarray(wts)
-    mask_j = jnp.asarray(mask[None, ..., None])
-    fmask_j = jnp.asarray(np.ones((h, w), np.uint8))
+    h, w, ps = 512, 910, 80  # 3 RGB + 3 temporal-guide channels (c=6)
     rng = np.random.default_rng(0)
     host_u8 = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
                for _ in range(3)]
-    fetch_pool = ThreadPoolExecutor(max_workers=4)
+    ones = np.ones((h, w), np.float32)
+    boxes = tile_boxes_from_mask(ones, ps, 30.0)
 
-    def chain_window(n: int, fetch_all: bool, flow_scale: int = 1) -> float:
-        prev = prev_gray = None
-        in_flight = []
+    tmp = Path(tempfile.mkdtemp(prefix="bench_temporal_"))
+    (tmp / "out").mkdir()
+    g_args = dict(input_channels=6, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=7,
+                  filters=[32, 64, 128, 128, 128, 64],
+                  norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision="bf16"),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=ps, additional_channels={}),
+        perception_loss_config=None)
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=ps)
+    CheckpointManager(
+        tmp / "ckpt", meta={"input_channels": 6, "generator_args": g_args,
+                            "patch_size": ps}).save(state, epoch=0,
+                                                    score=1.0)
+
+    class _BenchEngine(StyleTransferInference):
+        """File IO stubbed for the multi-stream cycle runner; everything
+        else is the shipped engine."""
+
+        def _ms_load_frame(self, info, i):
+            f = host_u8[i % 3]
+            return (f, None, f, None, None, f"f{i:04d}.png", ones, boxes)
+
+    repo = Path(__file__).resolve().parent
+
+    def make_engine(extra=()):
+        cfg = compose(repo / "config", "inference", overrides=[
+            f"paths.checkpoint={tmp}/ckpt/last",
+            f"paths.input_dir={tmp}",
+            f"paths.mask_dir={tmp}/ignore",
+            f"paths.output_dir={tmp}/out",
+            "paths.additional_channels={}",
+            f"data.patch_size={ps}",
+            "+inference.temporal.enabled=true",
+            "+inference.temporal.flow_source=device",
+            "+inference.temporal.depth=3",
+        ] + list(extra))
+        return _BenchEngine(cfg)
+
+    class _Writer:  # discard sink: bench measures serving, not PNG encode
+        def submit(self, *a):
+            pass
+
+        def flush(self):
+            return 0
+
+        def close(self):
+            pass
+
+    eng = make_engine()
+
+    def run_stream(e, n: int) -> float:
+        """The engine's REAL single-stream serving loop over n synthetic
+        frames; returns fps (fresh chain per window, like a CLI run)."""
+        files = [tmp / f"f{i:04d}.png" for i in range(n)]
+
+        def load_one(p):
+            i = int(p.stem[1:])
+            return (jax.device_put(host_u8[i % 3]), None, host_u8[i % 3],
+                    None, boxes, None)
+
+        e._temporal_prev = None
+        e._temporal_prev_gray = None
         t0 = time.perf_counter()
+        e._process_directory_temporal(files, load_one, tmp / "out",
+                                      _Writer(), mask_dir=None,
+                                      progress=False)
+        return n / (time.perf_counter() - t0)
+
+    run_stream(eng, 4)  # compile (bootstrap/window/chain programs) + warm
+    run_stream(eng, 4)
+    stream_fps = max(run_stream(eng, frames) for _ in range(3))
+
+    # compute-only: dispatch-difference over the engine's _chain_step with
+    # the _temporal_flow_window lookahead — the exact helper composition
+    # the serving loop drives, minus host readback
+    fdevs = [jax.device_put(f) for f in host_u8]
+    K = eng.temporal_flow_batch
+
+    def chain_compute(n: int) -> float:
+        carry = (None, None)
+        fcache = {}
+        t0 = time.perf_counter()
+        u8 = None
         for i in range(n):
-            fdev = jnp.asarray(host_u8[i % 3])
-            if prev is None:
-                full = _temporal_prep(fdev, None, None, 3)
-                gray = _device_gray(fdev)
-            else:
-                flow, gray = _temporal_device_flow(fdev, prev_gray, fmask_j,
-                                                   flow_scale)
-                full = _temporal_prep(fdev, prev, flow, 3)
-            u8, outf = fn(g_vars, full[None], fb_j, wts_j, mask_j)
-            prev, prev_gray = outf[0], gray
-            if fetch_all:
-                try:
-                    u8.copy_to_host_async()
-                except Exception:
-                    pass
-                in_flight.append(fetch_pool.submit(np.asarray, u8))
-                if len(in_flight) > 4:
-                    in_flight.pop(0).result()
-        for f in in_flight:
-            f.result()
-        if not fetch_all:
-            np.asarray(u8[0, 0, 0])  # tiny sync for dispatch-difference
+            fdev = fdevs[i % 3]
+            hit = fcache.pop(i, None)
+            if hit is None and K > 1 and carry[1] is not None:
+                js = list(range(i, min(i + K, n)))
+                flows, grays = _temporal_flow_window(
+                    jnp.stack([fdevs[j % 3] for j in js]), carry[1],
+                    None, eng.temporal_flow_scale)
+                for t, j in enumerate(js):
+                    fcache[j] = (flows[t], grays[t])
+                hit = fcache.pop(i)
+            u8, _, carry = eng._chain_step(fdev, None, boxes, carry,
+                                           flow_hit=hit)
+        np.asarray(u8[0, 0, 0])  # tiny sync for dispatch-difference
         return time.perf_counter() - t0
 
-    chain_window(3, True)  # compile all chain programs + steady state
-    chain_window(3, True)
-    stream_fps = max(frames / chain_window(frames, True) for _ in range(3))
-    # median-of-differences (see the tiled section's note); the chain is
-    # sequential per frame, so the window is already n full prologue+
-    # generator steps — big enough to dwarf the sync noise at n >= 8
+    chain_compute(4)  # warm
     n = max(8, frames // 2)
     compute_fps = float(np.median(
-        [n / max(chain_window(2 * n, False)
-                 - chain_window(n, False), 1e-9) for _ in range(3)]))
-    # flow_scale=2 (inference.temporal.flow_scale): LK on a half-res
-    # pyramid, displacements upsampled — the knob-gated cheaper flow
-    chain_window(3, True, 2)  # compile the scaled-flow program
-    fs2_fps = max(frames / chain_window(frames, True, 2) for _ in range(3))
+        [n / max(chain_compute(2 * n) - chain_compute(n), 1e-9)
+         for _ in range(3)]))
 
-    # Multi-stream serving (subdirectory-per-video): 3 independent chains
-    # interleaved, generator co-batched ACROSS streams in one multiframe
-    # dispatch (3 x 170 tiles -> the 512 bucket the single chain can't
-    # fill) — the per-CHIP aggregate rate for serving several videos.
+    # flow_scale=2: the knob-gated cheaper flow (half-res LK pyramid)
+    eng_fs2 = make_engine(["+inference.temporal.flow_scale=2"])
+    run_stream(eng_fs2, 4)
+    fs2_fps = max(run_stream(eng_fs2, frames) for _ in range(3))
+
+    # Multi-stream serving (subdirectory-per-video): 3 persistent chains,
+    # flows AND generator co-batched per cycle — the engine's own
+    # _ms_run_cycles with only the disk loader stubbed.
     S = 3
-    bucket3 = bucket_size(S * len(boxes))
-    fb3, wts3, _ = pack_boxes_multi([boxes] * S, ps, bucket3)
-    fn3 = make_multiframe_fn(gen, ps, bucket3, S, h, w, c, jnp.bfloat16,
-                             compiler_options=resolve_xla_options("auto"))
-    fb3_j, wts3_j = jnp.asarray(fb3), jnp.asarray(wts3)
-    mask3_j = jnp.asarray(np.stack([mask] * S))[..., None]
-    hosts3 = [[rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-               for _ in range(3)] for _ in range(S)]
 
-    def multi_window(cycles: int) -> float:
-        prevs = [None] * S
-        grays = [None] * S
-        in_flight = []
+    def run_multi(e, cycles: int) -> float:
+        infos = [dict(name=f"s{k}",
+                      files=[tmp / f"s{k}" / f"f{i:04d}.png"
+                             for i in range(cycles)],
+                      chans={}, mdir=tmp, masked=False, fdir=None,
+                      prev=None, prev_gray=None, idx=0, members=set())
+                 for k in range(S)]
+        load_pool = ThreadPoolExecutor(max_workers=2)
+        fetch_pool = ThreadPoolExecutor(max_workers=6)
         t0 = time.perf_counter()
-        for i in range(cycles):
-            fulls = []
-            for k in range(S):
-                fdev = jnp.asarray(hosts3[k][i % 3])
-                if prevs[k] is None:
-                    fulls.append(_temporal_prep(fdev, None, None, 3))
-                    grays[k] = _device_gray(fdev)
-                else:
-                    flow, grays[k] = _temporal_device_flow(
-                        fdev, grays[k], fmask_j)
-                    fulls.append(_temporal_prep(fdev, prevs[k], flow, 3))
-            u8, outf = fn3(g_vars, jnp.stack(fulls), fb3_j, wts3_j, mask3_j)
-            for k in range(S):
-                prevs[k] = outf[k]
-                uk = u8[k]  # per-stream fetches multiplex the tunnel
-                try:
-                    uk.copy_to_host_async()
-                except Exception:
-                    pass
-                in_flight.append(fetch_pool.submit(np.asarray, uk))
-            while len(in_flight) > 6:
-                in_flight.pop(0).result()
-        for f in in_flight:
-            f.result()
+        try:
+            e._ms_run_cycles(infos, _Writer(), load_pool, fetch_pool,
+                             tmp / "out", [None], progress=False)
+        finally:
+            load_pool.shutdown(wait=False)
+            fetch_pool.shutdown(wait=False)
         return S * cycles / (time.perf_counter() - t0)
 
-    multi_window(3)  # compile + warm
-    ms_fps = max(multi_window(frames) for _ in range(3))
-    print(f"[bench] temporal chain (device flow): streaming "
+    run_multi(eng, 3)  # compile + warm
+    ms_fps = max(run_multi(eng, frames) for _ in range(3))
+    print(f"[bench] temporal chain (device flow, engine-driven): streaming "
           f"{stream_fps:.1f} fps ({fs2_fps:.1f} at flow_scale=2), "
-          f"compute-only {compute_fps:.1f} fps; multi-stream x{S} "
-          f"aggregate {ms_fps:.1f} fps", file=sys.stderr)
+          f"compute-only {compute_fps:.1f} fps (flow_batch={K}); "
+          f"multi-stream x{S} aggregate {ms_fps:.1f} fps", file=sys.stderr)
     return {"temporal_device_streaming": round(stream_fps, 3),
             "temporal_device_streaming_fs2": round(fs2_fps, 3),
             "temporal_device_compute_only": round(compute_fps, 3),

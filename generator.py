@@ -55,6 +55,18 @@ def main(argv=None) -> None:
     try:
         inferencer = StyleTransferInference(cfg)
         if bool((cfg.inference.get("watch") or {}).get("enabled", False)):
+            # long-running service: SIGTERM (systemd/k8s stop) must take
+            # the same graceful path as Ctrl-C — the watch loops flush
+            # pending readbacks and the writer queue before returning
+            import signal
+
+            def _sigterm(signum, frame):
+                raise KeyboardInterrupt
+
+            try:
+                signal.signal(signal.SIGTERM, _sigterm)
+            except ValueError:
+                pass  # non-main thread (embedded use): Ctrl-C only
             inferencer.watch_directory()
         else:
             inferencer.process_directory()

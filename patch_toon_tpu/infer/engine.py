@@ -55,534 +55,43 @@ from patch_toon_tpu.utils.logging import configure_logging
 from patch_toon_tpu.train.checkpoints import sniff_input_channels
 from patch_toon_tpu.train.model import StyleTransferModel, _resolve_dtype
 
-
-def _to_signed_unit(frame):
-    """uint8 [0,255] -> fp32 [-1,1] via the exact reference normalization
-    arithmetic (reference dataset.py:191 ToTensor+Normalize: /255*2-1);
-    float frames pass through untouched.
-
-    Every inference program accepts either representation: uint8 upload
-    moves normalization on-device, cutting H2D bytes 4x — the upload is
-    the dominant wire cost through a constrained link (fp32 c6 frame =
-    ~11 MB vs the 1.4 MB uint8 readback; tools/profile_transport.py
-    h2d_* rows). The dtype is static at trace time, so the fp32 path
-    compiles to the identical program as before."""
-    if frame.dtype == jnp.uint8:
-        return frame.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-    return frame
-
-
-@functools.partial(jax.jit, static_argnames=("depth",))
-def _temporal_prep(frame, prev, flow, depth: int):
-    """Fused temporal-frame prologue: ONE device dispatch builds the
-    (H, W, 3+depth) generator input from the uploaded frame, the
-    device-resident previous stylized output, and the flow field.
-
-    Run eagerly this was normalize + ``warp_image`` (whose
-    ``map_coordinates`` lowers to dozens of separate eager ops) + slice +
-    cast + concat — every op a round-trip of dispatch latency on a remote
-    transport, riding the temporal chain's SEQUENTIAL critical path (frame
-    i+1 cannot start until this completes for frame i). ``prev``/``flow``
-    may be None (chain start / missing flow); None is static pytree
-    structure, so each of the three variants traces once into its own
-    fully fused program. ``flow`` may arrive as float16 (see
-    ``inference.temporal.flow_upload``) — warp coordinates are always
-    computed in fp32.
-    """
-    from patch_toon_tpu.ops.flow import warp_image
-
-    fdev = _to_signed_unit(frame)
-    if prev is None:
-        guide = fdev[..., :3]          # chain bootstrap: own RGB
-    elif flow is None:
-        guide = prev                   # missing flow: hold previous output
-    else:
-        guide = warp_image(prev, flow.astype(jnp.float32))
-    return jnp.concatenate(
-        [fdev, guide[..., :depth].astype(jnp.float32)], axis=-1)
-
-
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _temporal_device_flow(frame, prev_gray, fmask, scale: int = 1):
-    """One dispatch: PIL-exact grayscale of this frame + pyramidal-LK
-    backward flow against the previous frame's (device-resident) grayscale.
-
-    At ``scale=1`` this is the same computation ``tools/optical_flow.py``
-    backend="tpu" writes to ``flow_bwd/{i}.npy`` — ``masked_flow(gray_i/
-    255, gray_{i-1}/255, mask_i > 127)`` on bit-exact PIL luma (ops.flow.
-    pil_gray) — so ``flow_source=device`` serves the identical chain with
-    NO flow upload and no preprocessing pass. ``fmask`` None (maskless
-    frame / mask dir ignored) skips the out-of-mask zeroing, like the
-    tool would with an all-true mask.
-
-    ``scale`` in (2, 4) runs LK on a 2x/4x-downsampled pyramid and
-    bilinearly upsamples the displacement field — the finest pyramid
-    level is ~70% of the LK cost, and a stylization guide rarely needs
-    sub-pixel flow (inference.temporal.flow_scale; the out-of-mask
-    zeroing still applies at FULL resolution, preserving the tool's mask
-    semantics exactly).
-
-    Returns (flow, gray): ``gray`` (uint8, H*W bytes) stays on device as
-    the next frame's comparison target.
-    """
-    from patch_toon_tpu.ops.flow import dense_flow, pil_gray
-
-    gray = pil_gray(frame[..., :3])
-    flow = dense_flow(gray.astype(jnp.float32) / 255.0,
-                      prev_gray.astype(jnp.float32) / 255.0, scale=scale)
-    if fmask is not None:
-        if fmask.ndim == 1:  # bit-packed wire form (load_flow_mask)
-            fmask = jnp.unpackbits(
-                fmask, count=gray.shape[0] * gray.shape[1]
-            ).reshape(gray.shape)
-        flow = flow * (fmask.astype(jnp.float32) > 0.5)[..., None]
-    return flow, gray
-
-
-@jax.jit
-def _device_gray(frame):
-    """Grayscale-only dispatch for the chain's first frame (no flow yet)."""
-    from patch_toon_tpu.ops.flow import pil_gray
-
-    return pil_gray(frame[..., :3])
-
-
-def _mask_f32(mask, like=None):
-    """Masks upload as fp32 planes, uint8 {0,1} planes (4x fewer bytes),
-    or bit-PACKED uint8 (``np.packbits`` of the binary plane — 8x fewer
-    wire bytes again, ~65 KB vs 519 KB at 540x960; the mask is the
-    second-largest upload after the frame). Compute is always fp32.
-
-    A packed mask is recognized by rank: ``like`` (the frame batch the
-    mask belongs to) has 2 more axes — (..., H, W, C) vs (..., ceil(H*W/8))
-    — and H, W are static inside the jitted program, so the unpack is one
-    fused device op (``_mask_wire`` is the host-side encoder)."""
-    if like is not None and mask.ndim == like.ndim - 2:
-        h, w = like.shape[-3], like.shape[-2]
-        bits = jnp.unpackbits(mask, axis=-1, count=h * w)
-        return bits.reshape(*mask.shape[:-1], h, w, 1).astype(jnp.float32)
-    return mask if mask.dtype == jnp.float32 else mask.astype(jnp.float32)
-
-
-_TEMPORAL_LOCK_INIT = threading.Lock()
-
-
-def _image_files(directory: Path) -> List[Path]:
-    """Sorted image Paths in a directory — the SAME extension set the data
-    layer accepts (data/io.list_images: .png/.jpg/.jpeg, any case). A bare
-    ``glob('*.[pj][np][g]')`` silently missed ``.jpeg`` and uppercase
-    extensions, so inference no-opped on inputs training handled fine.
-
-    A missing/removed directory returns [] (glob's old semantics): the
-    watch loops call this every poll, and deleting a stream subdirectory
-    mid-watch must make that stream go quiet, not crash the service."""
-    try:
-        return [Path(directory) / f for f in list_images(directory)]
-    except (FileNotFoundError, NotADirectoryError):
-        return []
-
-
-def _composite_u8(rgb, out, mask):
-    """Masked composite + clip + uint8 tail shared by EVERY inference
-    program (reference generator.py:562-563 + 643-652 semantics). Any
-    change to the output convention must happen here, once — a missed
-    site would silently break bit-parity between modes."""
-    out = rgb * (1.0 - mask) + out * mask
-    out = jnp.clip(out, -1.0, 1.0)
-    u8 = jnp.round(
-        jnp.clip((out + 1.0) * 127.5, 0.0, 255.0)).astype(jnp.uint8)
-    return u8, out
-
-
-def make_fullframe_fn(generator, h: int, w: int, c: int, dtype,
-                      compiler_options=None) -> Any:
-    """One whole-frame generator pass (the TPU-first fast path).
-
-    The reference's tile decomposition exists because of its per-tile Python
-    loop and GPU memory pressure; a TPU chip can push the entire frame
-    through the fully-convolutional generator at once, eliminating the ~2x
-    overlap redundancy of 30%-overlap tiling. NOTE: instance-norm statistics
-    become per-frame instead of per-80x80-tile, so outputs differ slightly
-    from the reference's tiled semantics — this mode is opt-in
-    (``inference.mode: fullframe``); ``tiled`` is the parity default.
-    """
-    # generator needs H, W divisible by 4 (two stride-2 stages + 2x ups)
-    hp = (h + 3) // 4 * 4
-    wp = (w + 3) // 4 * 4
-
-    def fn(g_vars, frame, mask):
-        frame, mask = _to_signed_unit(frame), _mask_f32(mask, frame)
-        x = jnp.pad(frame, ((0, hp - h), (0, wp - w), (0, 0)))
-        out = generator.apply(
-            g_vars, x[None].astype(dtype), train=False
-        )[0, :h, :w].astype(jnp.float32)
-        return _composite_u8(frame[:, :, :3], out, mask)
-
-    return jax.jit(fn, compiler_options=compiler_options)
-
-
-def make_batched_fullframe_fn(generator, h: int, w: int, c: int, dtype,
-                              mesh=None, compiler_options=None) -> Any:
-    """Multi-frame fullframe program, frames sharded over the mesh 'data'
-    axis — the pod-scale streaming path (each chip stylizes its own frames;
-    no cross-chip communication needed, pure throughput scaling)."""
-    hp = (h + 3) // 4 * 4
-    wp = (w + 3) // 4 * 4
-
-    def body(g_vars, frames, masks):
-        frames, masks = _to_signed_unit(frames), _mask_f32(masks, frames)
-        x = jnp.pad(frames, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-        out = generator.apply(
-            g_vars, x.astype(dtype), train=False
-        )[:, :h, :w].astype(jnp.float32)
-        return _composite_u8(frames[..., :3], out, masks)
-
-    if mesh is None:
-        return jax.jit(body, compiler_options=compiler_options)
-
-    from patch_toon_tpu.parallel.mesh import batch_sharding
-
-    # caller device_puts frames/masks with batch sharding and g_vars
-    # replicated; out_shardings pins the frame-sharded layout (frames shard
-    # over ('dcn','data') on hybrid multi-slice meshes)
-    b_shard = batch_sharding(mesh)
-    return jax.jit(body, out_shardings=(b_shard, b_shard),
-                   compiler_options=compiler_options)
-
-
-def _gather_repr(x: jax.Array, dtype) -> Tuple[jax.Array, int]:
-    """Re-express an array for the fast batched-slice path.
-
-    The v5e fp32 batched dynamic_slice is pathological (~28-50 ms/frame vs
-    ~0.4 ms for 16-bit elements — measured ~80x). bf16 compute casts before
-    gathering (value-identical); fp32-parity compute bitcasts each fp32
-    lane into two uint16 lanes, gathers, and bitcasts back — bit-exact.
-    Returns (reexpressed array, lane multiplier)."""
-    if jnp.dtype(dtype) != jnp.float32:
-        return x.astype(dtype), 1
-    u16 = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint16)
-    return u16.reshape(*x.shape[:-1], x.shape[-1] * 2), 2
-
-
-def _from_gather_repr(tile: jax.Array, c: int, mult: int) -> jax.Array:
-    if mult == 1:
-        return tile
-    return jax.lax.bitcast_convert_type(
-        tile.reshape(*tile.shape[:-1], c, 2), jnp.float32)
-
-
-def _frame_body(generator, patch_size: int, bucket: int,
-                h: int, w: int, c: int, dtype) -> Any:
-    """The un-jitted one-frame tiled program (shared by the single-frame,
-    and pod-sharded variants)."""
-    ps = patch_size
-
-    def frame_fn(g_vars, frame, boxes, weights, mask):
-        # frame (H,W,C) fp32 [-1,1] or uint8 [0,255]; boxes (B,4) i32;
-        # weights (B,ps,ps) f32; mask (H,W,1) f32/u8 {0,1}
-        frame, mask = _to_signed_unit(frame), _mask_f32(mask, frame)
-        repr_, mult = _gather_repr(frame, dtype)
-        fpad = jnp.pad(repr_, ((ps, ps), (ps, ps), (0, 0)))
-
-        def gather(box):
-            y0, y1, x0, x1 = box[0], box[1], box[2], box[3]
-            ph, pw = y1 - y0, x1 - x0
-            hoff, woff = (ps - ph) // 2, (ps - pw) // 2
-            tile = jax.lax.dynamic_slice(
-                fpad, (ps + y0 - hoff, ps + x0 - woff, 0),
-                (ps, ps, c * mult))
-            tile = _from_gather_repr(tile, c, mult)
-            r = jnp.arange(ps)
-            rv = (r >= hoff) & (r < hoff + ph)
-            cv = (r >= woff) & (r < woff + pw)
-            return tile * rv[:, None, None].astype(tile.dtype) \
-                * cv[None, :, None].astype(tile.dtype)
-
-        tiles = jax.vmap(gather)(boxes)
-        gen = generator.apply(
-            g_vars, tiles, train=False
-        ).astype(jnp.float32)
-
-        canvas = jnp.zeros((h + ps, w + ps, 3), jnp.float32)
-        wcanvas = jnp.zeros((h + ps, w + ps, 1), jnp.float32)
-
-        def body(carry, inp):
-            cv_, wv_ = carry
-            tile, weight, box = inp
-            y0, x0 = box[0], box[2]
-            contrib = tile * weight[..., None]
-            cur = jax.lax.dynamic_slice(cv_, (y0, x0, 0), (ps, ps, 3))
-            cv_ = jax.lax.dynamic_update_slice(cv_, cur + contrib, (y0, x0, 0))
-            curw = jax.lax.dynamic_slice(wv_, (y0, x0, 0), (ps, ps, 1))
-            wv_ = jax.lax.dynamic_update_slice(
-                wv_, curw + weight[..., None], (y0, x0, 0))
-            return (cv_, wv_), None
-
-        (canvas, wcanvas), _ = jax.lax.scan(
-            body, (canvas, wcanvas), (gen, weights, boxes))
-
-        out = canvas[:h, :w]
-        wsum = wcanvas[:h, :w]
-        out = out / jnp.where(wsum > 1e-8, wsum, 1.0)
-        return _composite_u8(frame[:, :, :3], out, mask)
-
-    return frame_fn
-
-
-def make_frame_fn(generator, patch_size: int, bucket: int,
-                  h: int, w: int, c: int, dtype,
-                  compiler_options=None) -> Any:
-    """Build the jitted one-frame program for a fixed signature."""
-    return jax.jit(_frame_body(generator, patch_size, bucket, h, w, c, dtype),
-                   compiler_options=compiler_options)
-
-
-def make_pod_tiled_fn(generator, patch_size: int, bucket: int,
-                      h: int, w: int, c: int, dtype, mesh=None,
-                      compiler_options=None) -> Any:
-    """Pod-scale TILED (reference-parity) inference: the one-frame tiled
-    program vmapped over a frame batch, frames sharded over the mesh batch
-    axes (('dcn','data') on hybrid meshes). Each chip stylizes its own
-    frames end to end — tile gather, generator batch, scan blend, composite
-    — with no cross-chip communication (pure throughput scaling). The
-    fullframe counterpart is make_batched_fullframe_fn; this one keeps the
-    reference's per-80x80-tile instance-norm semantics (generator.py:427-565).
-    """
-    body = _frame_body(generator, patch_size, bucket, h, w, c, dtype)
-
-    def fn(g_vars, frames, boxes, weights, masks):
-        # frames (F,H,W,C); boxes (F,B,4); weights (F,B,ps,ps); masks (F,H,W,1)
-        return jax.vmap(
-            lambda f, b, wt, m: body(g_vars, f, b, wt, m)
-        )(frames, boxes, weights, masks)
-
-    if mesh is None:
-        return jax.jit(fn, compiler_options=compiler_options)
-
-    from patch_toon_tpu.parallel.mesh import batch_sharding
-
-    b_shard = batch_sharding(mesh)
-    return jax.jit(fn, out_shardings=(b_shard, b_shard),
-                   compiler_options=compiler_options)
-
-
-def _multiframe_body(generator, patch_size: int, bucket: int, n_frames: int,
-                     h: int, w: int, c: int, dtype) -> Any:
-    """Traceable body shared by make_multiframe_fn (single chip) and
-    make_pod_multiframe_fn (vmapped over a device axis)."""
-    ps = patch_size
-
-    def fn(g_vars, frames, fboxes, weights, masks):
-        # frames (F,H,W,C) fp32 or uint8; fboxes (B,5) [f,y0,y1,x0,x1];
-        # masks (F,H,W,1). Frames are flattened along H so the
-        # gather/scatter stay 3D — dynamic slices on a 4D canvas cost
-        # ~2x per scan iteration.
-        frames, masks = _to_signed_unit(frames), _mask_f32(masks, frames)
-        hp2 = h + 2 * ps
-        # fast-path gather representation (see _gather_repr: fp32 batched
-        # slices are ~80x slower on v5e; bf16 casts, fp32 bitcasts to uint16)
-        repr_, mult = _gather_repr(frames, dtype)
-        fpad = jnp.pad(repr_, ((0, 0), (ps, ps), (ps, ps), (0, 0))
-                       ).reshape(n_frames * hp2, w + 2 * ps, c * mult)
-
-        def gather(box):
-            f, y0, y1, x0, x1 = box[0], box[1], box[2], box[3], box[4]
-            ph, pw = y1 - y0, x1 - x0
-            hoff, woff = (ps - ph) // 2, (ps - pw) // 2
-            tile = jax.lax.dynamic_slice(
-                fpad, (f * hp2 + ps + y0 - hoff, ps + x0 - woff, 0),
-                (ps, ps, c * mult))
-            tile = _from_gather_repr(tile, c, mult)
-            r = jnp.arange(ps)
-            rv = (r >= hoff) & (r < hoff + ph)
-            cv = (r >= woff) & (r < woff + pw)
-            return tile * rv[:, None, None].astype(tile.dtype) \
-                * cv[None, :, None].astype(tile.dtype)
-
-        tiles = jax.vmap(gather)(fboxes)
-        gen = generator.apply(
-            g_vars, tiles, train=False).astype(jnp.float32)
-
-        hp1 = h + ps
-        canvas = jnp.zeros((n_frames * hp1, w + ps, 3), jnp.float32)
-        wcanvas = jnp.zeros((n_frames * hp1, w + ps, 1), jnp.float32)
-
-        def body(carry, inp):
-            cv_, wv_ = carry
-            tile, weight, box = inp
-            y0 = box[0] * hp1 + box[1]
-            x0 = box[3]
-            contrib = tile * weight[..., None]
-            cur = jax.lax.dynamic_slice(cv_, (y0, x0, 0), (ps, ps, 3))
-            cv_ = jax.lax.dynamic_update_slice(cv_, cur + contrib, (y0, x0, 0))
-            curw = jax.lax.dynamic_slice(wv_, (y0, x0, 0), (ps, ps, 1))
-            wv_ = jax.lax.dynamic_update_slice(
-                wv_, curw + weight[..., None], (y0, x0, 0))
-            return (cv_, wv_), None
-
-        (canvas, wcanvas), _ = jax.lax.scan(
-            body, (canvas, wcanvas), (gen, weights, fboxes))
-
-        out = canvas.reshape(n_frames, hp1, w + ps, 3)[:, :h, :w]
-        wsum = wcanvas.reshape(n_frames, hp1, w + ps, 1)[:, :h, :w]
-        out = out / jnp.where(wsum > 1e-8, wsum, 1.0)
-        return _composite_u8(frames[..., :3], out, masks)
-
-    return fn
-
-
-def make_multiframe_fn(generator, patch_size: int, bucket: int, n_frames: int,
-                       h: int, w: int, c: int, dtype,
-                       compiler_options=None) -> Any:
-    """Several frames' tiles in ONE generator batch (tiled semantics kept).
-
-    Co-batching frames fills the pow2 tile bucket (see
-    tiling.frames_per_dispatch) — e.g. 3x170-tile 512p frames run at ~43
-    eq-frames/s vs ~33 single-frame on a v5e chip. Per-tile math is identical
-    to make_frame_fn; only the batching changes.
-    """
-    fn = _multiframe_body(generator, patch_size, bucket, n_frames, h, w, c,
-                          dtype)
-    return jax.jit(fn, compiler_options=compiler_options)
-
-
-def make_pod_multiframe_fn(generator, patch_size: int, bucket: int,
-                           fpd: int, h: int, w: int, c: int, dtype,
-                           mesh=None, compiler_options=None) -> Any:
-    """Pod x co-batched tiled inference: each device runs the fpd-frame
-    multiframe program on its own frame chunk (frames chunked consecutively,
-    chunks sharded over the mesh batch axes). Combines the pod path's
-    linear chip scaling with co-batching's full pow2 tile buckets (~26%
-    per-chip win over one-frame-per-chip at 170-tile 512p frames). Per-tile
-    math identical to the single-chip programs (reference
-    generator.py:427-565 semantics)."""
-    body = _multiframe_body(generator, patch_size, bucket, fpd, h, w, c,
-                            dtype)
-
-    def fn(g_vars, frames, fboxes, weights, masks):
-        # frames (D,fpd,H,W,C); fboxes (D,B,5); weights (D,B,ps,ps);
-        # masks (D,fpd,H,W,1)
-        return jax.vmap(
-            lambda f, b, wt, m: body(g_vars, f, b, wt, m)
-        )(frames, fboxes, weights, masks)
-
-    if mesh is None:
-        return jax.jit(fn, compiler_options=compiler_options)
-
-    from patch_toon_tpu.parallel.mesh import batch_sharding
-
-    b_shard = batch_sharding(mesh)
-    return jax.jit(fn, out_shardings=(b_shard, b_shard),
-                   compiler_options=compiler_options)
-
-
-def _parse_crop_knob(value, knob: str = "crop_readback") -> bool:
-    """Strict allow-list (like resolve_xla_options): a typo like 'of' or
-    'disable' must raise, not silently enable cropping."""
-    v = str(value).lower()
-    if v in ("auto", "on", "true", "1", "yes"):
-        return True
-    if v in ("off", "false", "0", "no", "none", "disabled"):
-        return False
-    raise ValueError(
-        f"inference.{knob}={value!r}: expected one of "
-        "auto/on/true/1/yes or off/false/0/no/none/disabled")
-
-
-def mask_support_bbox(mask: np.ndarray):
-    """(y0, y1, x0, x1) bounds of a mask's nonzero support; (0,0,0,0) for
-    an empty mask. The composite is out = rgb*(1-m) + styl*m, so every
-    pixel that can differ from the input lies inside this box. Shared by
-    the engine's prefetch path and bench.py's masked workload."""
-    rows = np.flatnonzero(mask.any(axis=1))
-    if not len(rows):
-        return (0, 0, 0, 0)
-    cols = np.flatnonzero(mask.any(axis=0))
-    return (int(rows[0]), int(rows[-1]) + 1,
-            int(cols[0]), int(cols[-1]) + 1)
-
-
-def compute_crop_bbox(mask_boxes, h: int, w: int,
-                      align: int = 64, full_frac: float = 0.85):
-    """Readback bbox for a group of frames: the union of their mask-support
-    bboxes, padded to ``align``-multiples (bounds the number of distinct
-    slice shapes, so mask drift doesn't recompile). The mask support — not
-    the tile union — is what bounds every pixel the composite can change.
-    Returns None when any frame is maskless (stylized everywhere) or the
-    union covers >= ``full_frac`` of the frame (cropping saves nothing).
-
-    Module-level (not an engine method) so bench.py derives its masked-
-    workload bbox from the SAME logic the engine ships."""
-    if any(mb is None for mb in mask_boxes):
-        return None  # maskless frames stylize everywhere
-    live = [mb for mb in mask_boxes if mb[1] > mb[0]]
-    if not live:
-        live = [(0, 1, 0, 1)]  # all masks empty: fetch 1 row
-    y0 = min(mb[0] for mb in live)
-    y1 = max(mb[1] for mb in live)
-    x0 = min(mb[2] for mb in live)
-    x1 = max(mb[3] for mb in live)
-    y0, x0 = (y0 // align) * align, (x0 // align) * align
-    y1 = min(h, -(-y1 // align) * align)
-    x1 = min(w, -(-x1 // align) * align)
-    if (y1 - y0) * (x1 - x0) >= full_frac * h * w:
-        return None  # near-full frame: cropping saves nothing
-    return y0, y1, x0, x1
-
-
-def upload_crop_window(boxes, h: int, w: int, ps: int,
-                       bucket: int = 128, full_frac: float = 0.9,
-                       support_bbox=None):
-    """Crop window for UPLOADING a masked tiled frame (crop_upload).
-
-    The tiled program only ever reads the frame inside the tile gather
-    footprint — make_frame_fn's gather reads EXACTLY the ps x ps window
-    centered on each (possibly short) box: rows [y0-hoff, y0-hoff+ps)
-    with hoff = (ps-(y1-y0))//2, same for columns. The window is the
-    union of that read footprint AND the mask-support bbox
-    (``support_bbox``): tile placement stride-samples the nonzero list,
-    so isolated speckle mask pixels can fall outside every tile — under
-    the full-frame dispatch they composite to the zero canvas (uint8
-    gray), and the host-side paste outside the window would instead keep
-    the input bytes. With the support inside the window, every pixel the
-    composite can touch is computed by the SAME program arithmetic, so
-    cropping frame+mask to the window BEFORE upload, running the program
-    on the small domain (tile boxes shifted by the crop origin), and
-    pasting the output back into the input bytes host-side is
-    BIT-IDENTICAL to the full-frame dispatch: reads beyond the window
-    are zero-pad in both domains (outside the frame) or never happen,
-    and outside the window the mask is zero (composite == input bytes).
-
-    Window dims bucket up to ``bucket``-multiples (clipped to the frame)
-    so mask drift across a shot reuses one compiled program; the origin
-    slides to keep the window inside the frame. Returns None when the
-    bucketed window covers >= ``full_frac`` of the frame (no saving) or
-    there are no tiles."""
-    if not boxes:
-        return None
-    rd = []
-    for y0b, y1b, x0b, x1b in boxes:
-        hoff = (ps - (y1b - y0b)) // 2
-        woff = (ps - (x1b - x0b)) // 2
-        rd.append((y0b - hoff, y0b - hoff + ps,
-                   x0b - woff, x0b - woff + ps))
-    if support_bbox is not None and support_bbox[1] > support_bbox[0]:
-        sy0, sy1, sx0, sx1 = support_bbox
-        rd.append((sy0, sy1, sx0, sx1))
-    uy0 = max(0, min(r[0] for r in rd))
-    uy1 = min(h, max(r[1] for r in rd))
-    ux0 = max(0, min(r[2] for r in rd))
-    ux1 = min(w, max(r[3] for r in rd))
-    bh = min(h, -(-(uy1 - uy0) // bucket) * bucket)
-    bw = min(w, -(-(ux1 - ux0) // bucket) * bucket)
-    if bh * bw >= full_frac * h * w:
-        return None
-    y0 = max(0, min(uy0, h - bh))
-    x0 = max(0, min(ux0, w - bw))
-    return y0, y0 + bh, x0, x0 + bw
-
-
-class StyleTransferInference:
+# Serving-mode modules split out in r4 (VERDICT r3 #3). ``engine`` remains
+# the import surface: every helper and program builder is re-exported here
+# (tests/tools/bench import them from this module).
+from patch_toon_tpu.infer.common import (  # noqa: F401  (re-exports)
+    _composite_u8,
+    _from_gather_repr,
+    _gather_repr,
+    _image_files,
+    _mask_f32,
+    _parse_crop_knob,
+    _to_signed_unit,
+    compute_crop_bbox,
+    mask_support_bbox,
+    upload_crop_window,
+)
+from patch_toon_tpu.infer.multistream import MultiStreamMixin
+from patch_toon_tpu.infer.programs import (  # noqa: F401  (re-exports)
+    _frame_body,
+    _multiframe_body,
+    make_batched_fullframe_fn,
+    make_frame_fn,
+    make_fullframe_fn,
+    make_multiframe_fn,
+    make_pod_multiframe_fn,
+    make_pod_tiled_fn,
+)
+from patch_toon_tpu.infer.temporal import (  # noqa: F401  (re-exports)
+    TemporalMixin,
+    _device_gray,
+    _temporal_device_flow,
+    _temporal_prep,
+)
+from patch_toon_tpu.infer.watch import WatchMixin
+
+
+class StyleTransferInference(TemporalMixin, MultiStreamMixin,
+                             WatchMixin):
     def __init__(self, cfg: Any):
         self.cfg = cfg
         inf = cfg.get("inference", {})
@@ -620,6 +129,27 @@ class StyleTransferInference:
             raise ValueError(
                 f"inference.temporal.flow_scale="
                 f"{self.temporal_flow_scale!r}: expected 1, 2 or 4")
+        # flow_batch (device source): lookahead window of frames whose
+        # backward flows compute in ONE vmapped LK dispatch ahead of the
+        # sequential chain (temporal._temporal_flow_window — flows depend
+        # only on input grays, so they batch; byte-identical on CPU, and
+        # value-equal within LK's own iteration roundoff on TPU).
+        # MEASURED NEGATIVE on v5e (tools/profile_flow_batch.py,
+        # docs/perf/flow_batch_r4.json): vmapped LK is 0.70-0.85x the
+        # per-flow rate of sequential dispatches at EVERY K in 2-8 and both
+        # flow scales — LK is gather-descriptor-bound and the batch's 3-D
+        # gathers are slower than K sequential 2-D ones. "auto" therefore
+        # resolves to 1 (per-frame); the knob remains for transports where
+        # per-dispatch latency dominates device time.
+        fb_raw = str(tcfg.get("flow_batch", "auto")).lower()
+        if fb_raw == "auto":
+            self.temporal_flow_batch = 1
+        else:
+            self.temporal_flow_batch = int(fb_raw)
+            if not 1 <= self.temporal_flow_batch <= 16:
+                raise ValueError(
+                    f"inference.temporal.flow_batch={fb_raw!r}: "
+                    "expected auto or an int in [1, 16]")
         # resolved below once self.upload_u8 is known ("auto" follows it)
         self._temporal_flow_upload = str(
             tcfg.get("flow_upload", "auto")).lower()
@@ -1050,165 +580,6 @@ class StyleTransferInference:
             f"debug_{Path(save_path).name}"))
         img.save(debug_path)
 
-    def watch_directory(self) -> None:
-        """Serve paths.input_dir as a long-running stylization service.
-
-        Polls for frames that do not yet have an output and runs each new
-        batch through the streaming pipeline. Compiled programs, device
-        params and the inference process stay warm between polls, so
-        steady-state latency is one dispatch — no reload/recompile per
-        batch (a capability the reference's one-shot ``generator.py`` has
-        no equivalent of). A frame is picked up once its mtime has settled
-        (half-written files are retried on the next poll; decode failures
-        fall under the per-file resilience of the pipeline).
-
-        inference.watch: {enabled, poll_seconds, idle_timeout_seconds,
-        max_attempts}. ``idle_timeout_seconds`` null/0 = run forever
-        (Ctrl-C to stop). With the temporal guide enabled, the warp chain
-        and the global flow index persist across polls, and a blocked
-        frame (still settling, or missing its mask/guides) holds LATER
-        frames back so the chain always advances in stream order;
-        flow_bwd/{i}.npy is indexed by position in the whole stream.
-        A subdirectory-per-video input layout routes to
-        _watch_multistream (N persistent chains, co-batched generator).
-        Multi-host flat-layout temporal watch serves from process 0 only;
-        multi-stream shards whole streams; other modes shard frames by
-        name hash.
-        """
-        import time as _time
-
-        if self.cfg.get("inference", {}).get("file_shard"):
-            raise ValueError(
-                "inference.watch shards by name hash automatically; "
-                "file_shard's index round-robin is unstable across polls")
-        import zlib
-
-        wcfg = self.cfg.get("inference", {}).get("watch") or {}
-        poll = float(wcfg.get("poll_seconds", 1.0))
-        idle_timeout = float(wcfg.get("idle_timeout_seconds") or 0)
-        max_attempts = int(wcfg.get("max_attempts", 3))
-        input_dir = Path(self.cfg.paths.input_dir)
-        output_dir = Path(self.cfg.paths.output_dir)
-        if self.temporal_enabled and self._detect_streams(input_dir):
-            # subdirectory-per-video layout: serve N persistent interleaved
-            # warp chains with the generator co-batched across streams
-            # (the layout is decided ONCE, at watch start)
-            return self._watch_multistream(wcfg)
-        if self.temporal_enabled and jax.process_count() > 1 \
-                and jax.process_index() != 0:
-            self.logger.warning(
-                "Temporal watch is sequential; only process 0 serves "
-                "(shard whole videos with the subdirectory-per-stream "
-                "layout instead)")
-            return
-        # Multi-host watch: shard by a stable hash of the NAME (a list-index
-        # round-robin would reassign frames between polls as the pending
-        # list shrinks at different rates per process, double-writing the
-        # same output from two hosts).
-        nproc, me = jax.process_count(), jax.process_index()
-        mask_dir = Path(self.cfg.paths.mask_dir)
-        mask_optional = mask_dir.name.endswith("ignore")
-
-        def aux_ready(p: Path) -> bool:
-            """Producers often write the frame before its mask/guide
-            channels — wait for ALL of a frame's inputs before counting an
-            attempt (a frame whose mask never comes just stays pending)."""
-            if not mask_optional and not os.path.exists(
-                    find_corresponding_image(str(mask_dir), p.name)):
-                return False
-            for ccfg in self.additional_channels.values():
-                if not os.path.exists(
-                        find_corresponding_image(ccfg["path"], str(p))):
-                    return False
-            return True
-
-        done: set = set()
-        attempts: Dict[str, int] = {}
-        # frames whose mask/guides haven't landed: first-seen time, so a
-        # stuck producer is diagnosable (warned once per frame after
-        # aux_warn_seconds, default 30s) instead of pending forever silently
-        aux_warn_after = float(wcfg.get("aux_warn_seconds", 30.0))
-        waiting_since: Dict[str, float] = {}
-        aux_warned: set = set()
-        idle = 0.0
-        self.logger.info(
-            f"Watching {input_dir} (poll {poll}s, "
-            f"idle timeout {idle_timeout or 'none'})")
-        while True:
-            now = _time.time()
-            new = []
-            for p in _image_files(input_dir):
-                if p.name in done or (output_dir / p.name).exists():
-                    if self.temporal_enabled:
-                        # already-stylized frames are stream members even
-                        # across a service restart (their outputs prove it)
-                        self._temporal_register(p.name)
-                    done.add(p.name)
-                    continue
-                if nproc > 1 and not self.temporal_enabled \
-                        and zlib.crc32(p.name.encode()) % nproc != me:
-                    continue  # a peer's frame
-                try:
-                    if p.stat().st_mtime > now - max(0.25, poll / 2):
-                        if self.temporal_enabled:
-                            break  # chain order: later frames wait behind
-                        continue  # possibly still being written
-                except OSError:
-                    if self.temporal_enabled:
-                        break
-                    continue
-                if self.temporal_enabled:
-                    # a frame joins the temporal stream only once its mtime
-                    # settles: a transient half-write that gets deleted must
-                    # never occupy a stream position (it would shift every
-                    # later frame onto the wrong flow file). Registration is
-                    # NOT gated on aux_ready — a frame waiting for its mask
-                    # is a real stream member; and a given-up frame stays a
-                    # member so a later retry keeps its position.
-                    self._temporal_register(p.name)
-                if not aux_ready(p):
-                    first = waiting_since.setdefault(p.name, now)
-                    if p.name not in aux_warned \
-                            and now - first >= aux_warn_after:
-                        aux_warned.add(p.name)
-                        self.logger.warning(
-                            f"{p.name}: mask/guide channels still missing "
-                            f"after {now - first:.0f}s; frame stays pending "
-                            "until they arrive")
-                    if self.temporal_enabled:
-                        break  # chain order: later frames wait behind
-                    continue  # mask/guide not landed yet: retry next poll
-                waiting_since.pop(p.name, None)
-                aux_warned.discard(p.name)
-                new.append(p)
-            if new:
-                try:
-                    self.process_directory(files=new, progress=False)
-                except Exception as e:
-                    # the service must outlive a bad batch; per-frame
-                    # attempts below decide retry vs give-up
-                    self.logger.error(f"Batch failed: {e}")
-                for p in new:
-                    if (output_dir / p.name).exists():
-                        done.add(p.name)
-                        idle = 0.0
-                    else:
-                        # transient half-write: retry; persistent failure:
-                        # give up so the poll loop can go idle (no spin)
-                        attempts[p.name] = attempts.get(p.name, 0) + 1
-                        if attempts[p.name] >= max_attempts:
-                            self.logger.error(
-                                f"Giving up on {p.name} after "
-                                f"{max_attempts} attempts")
-                            done.add(p.name)
-                self.logger.info(f"Stylized {len(new)} new frame(s); "
-                                 f"{len(done)} total")
-            _time.sleep(poll)
-            idle += poll
-            if idle_timeout and idle >= idle_timeout:
-                self.logger.info(
-                    f"No new frames for {idle:.0f}s; stopping watch")
-                return
 
     def process_directory(self, files: Optional[List[Path]] = None,
                           progress: bool = True) -> None:
@@ -1338,13 +709,17 @@ class StyleTransferInference:
         writer = FrameWriter(num_threads=2)
 
         if self.temporal_enabled:
-            self._process_directory_temporal(files, load_one, output_dir,
-                                             writer, mask_dir=mask_dir,
-                                             progress=progress)
-            failed = writer.flush()
-            writer.close()
-            if failed:
-                self.logger.error(f"{failed} frame writes failed")
+            try:
+                self._process_directory_temporal(files, load_one, output_dir,
+                                                 writer, mask_dir=mask_dir,
+                                                 progress=progress)
+            finally:
+                # writer queue flushes even on Ctrl-C/SIGTERM mid-chain
+                # (the chain's own finally already drained its readback)
+                failed = writer.flush()
+                writer.close()
+                if failed:
+                    self.logger.error(f"{failed} frame writes failed")
             return
 
         # fetch pool: each in-flight group's D2H readback runs in its own
@@ -1489,61 +864,68 @@ class StyleTransferInference:
                 group_size = None  # D * frames_per_dispatch, set below
 
         PREFETCH = 6  # bound decoded-frame memory to O(PREFETCH)
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futures = {}
-            for p in files[:PREFETCH]:
-                futures[p] = pool.submit(load_one, p)
-            for i, input_path in enumerate(
-                    tqdm(files, desc="Processing images",
-                         disable=not progress)):
-                if i + PREFETCH < len(files):
-                    nxt = files[i + PREFETCH]
-                    futures[nxt] = pool.submit(load_one, nxt)
-                try:
-                    frame, mask, rgb_u8, mbox, boxes, cropwin = \
-                        futures.pop(input_path).result()
-                    eff_mask = mask if mask is not None else np.ones(
-                        frame.shape[:2], np.float32)
-                    if group_size is None:
-                        fpd = frames_per_dispatch(
-                            max(1, len(boxes)), target=self.max_tile_batch)
-                        if fpd_cfg != "auto":
-                            fpd = max(1, int(fpd_cfg))
-                        if self.devices != 1:
-                            self._pod_fpd = fpd
-                            group_size = self._mesh.devices.size * fpd
-                            self.logger.info(
-                                f"Pod co-batching: {fpd} frames/chip x "
-                                f"{self._mesh.devices.size} chips/dispatch "
-                                f"(~{len(boxes)} tiles/frame)")
-                        else:
-                            group_size = fpd
-                            self.logger.info(
-                                f"Co-batching {group_size} frames/dispatch "
-                                f"(~{len(boxes)} tiles/frame)")
-                    # a co-batched dispatch needs every frame in the
-                    # group at ONE shape: upload-cropped windows bucket to
-                    # 128-multiples so a stable mask reuses one shape, but
-                    # when the window (or a maskless frame) changes shape,
-                    # flush the in-progress group first. Crop-ness must
-                    # also match: dispatch_group treats the whole group as
-                    # cropped iff its FIRST member is, so an upload-cropped
-                    # window and an uncropped full frame of coincidentally
-                    # equal dims must never share a group (the paste would
-                    # use the wrong coordinate space).
-                    if group and (group[0][0].shape != frame.shape
-                                  or (group[0][6] is None)
-                                  != (cropwin is None)):
+        try:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futures = {}
+                for p in files[:PREFETCH]:
+                    futures[p] = pool.submit(load_one, p)
+                for i, input_path in enumerate(
+                        tqdm(files, desc="Processing images",
+                             disable=not progress)):
+                    if i + PREFETCH < len(files):
+                        nxt = files[i + PREFETCH]
+                        futures[nxt] = pool.submit(load_one, nxt)
+                    try:
+                        frame, mask, rgb_u8, mbox, boxes, cropwin = \
+                            futures.pop(input_path).result()
+                        eff_mask = mask if mask is not None else np.ones(
+                            frame.shape[:2], np.float32)
+                        if group_size is None:
+                            fpd = frames_per_dispatch(
+                                max(1, len(boxes)), target=self.max_tile_batch)
+                            if fpd_cfg != "auto":
+                                fpd = max(1, int(fpd_cfg))
+                            if self.devices != 1:
+                                self._pod_fpd = fpd
+                                group_size = self._mesh.devices.size * fpd
+                                self.logger.info(
+                                    f"Pod co-batching: {fpd} frames/chip x "
+                                    f"{self._mesh.devices.size} chips/dispatch "
+                                    f"(~{len(boxes)} tiles/frame)")
+                            else:
+                                group_size = fpd
+                                self.logger.info(
+                                    f"Co-batching {group_size} frames/dispatch "
+                                    f"(~{len(boxes)} tiles/frame)")
+                        # a co-batched dispatch needs every frame in the
+                        # group at ONE shape: upload-cropped windows bucket to
+                        # 128-multiples so a stable mask reuses one shape, but
+                        # when the window (or a maskless frame) changes shape,
+                        # flush the in-progress group first. Crop-ness must
+                        # also match: dispatch_group treats the whole group as
+                        # cropped iff its FIRST member is, so an upload-cropped
+                        # window and an uncropped full frame of coincidentally
+                        # equal dims must never share a group (the paste would
+                        # use the wrong coordinate space).
+                        if group and (group[0][0].shape != frame.shape
+                                      or (group[0][6] is None)
+                                      != (cropwin is None)):
+                            flush_group()
+                        group.append((frame, eff_mask, boxes, input_path,
+                                      rgb_u8, mbox, cropwin))
+                    except Exception as e:
+                        self.logger.error(
+                            f"Failed to process {input_path.name}: {e}")
+                        continue
+                    if len(group) >= group_size:
                         flush_group()
-                    group.append((frame, eff_mask, boxes, input_path,
-                                  rgb_u8, mbox, cropwin))
-                except Exception as e:
-                    self.logger.error(
-                        f"Failed to process {input_path.name}: {e}")
-                    continue
-                if len(group) >= group_size:
-                    flush_group()
-            flush_group()
+                flush_group()
+        finally:
+            # graceful shutdown contract (watch mode / Ctrl-C / SIGTERM):
+            # every dispatched frame's readback is drained and the writer
+            # queue flushed even when an interrupt lands mid-stream — an
+            # in-flight frame either reaches disk or is logged, never
+            # silently dropped
             while in_flight:
                 # deferred device errors surface at the tail fetch; drop
                 # only the group whose fetch failed and keep draining the
@@ -1552,11 +934,11 @@ class StyleTransferInference:
                     drain_one()
                 except Exception as e:
                     self.logger.error(f"Tail drain failed for a group: {e}")
-        fetch_pool.shutdown(wait=False)
-        failed = writer.flush()
-        writer.close()
-        if failed:
-            self.logger.error(f"{failed} frame writes failed")
+            fetch_pool.shutdown(wait=False)
+            failed = writer.flush()
+            writer.close()
+            if failed:
+                self.logger.error(f"{failed} frame writes failed")
 
     def _ensure_mesh(self) -> None:
         from patch_toon_tpu.parallel import make_mesh, replicate
@@ -1682,701 +1064,12 @@ class StyleTransferInference:
             jnp.asarray(self._mask_wire(np.stack(masks))))
         return u8, out_float
 
-    def _temporal_register(self, name: str) -> None:
-        """Mark a frame as a member of the temporal stream (idempotent).
 
-        Guarded by a (lazily created) RLock: the prefetch worker registers
-        frames from load_aux while the main loop sorts the member set in
-        _temporal_position — an unguarded add mid-``sorted()`` raises
-        "set changed size during iteration" and drops the frame."""
-        with self._temporal_lock():
-            self._temporal_members.add(name)
 
-    def _temporal_lock(self):
-        # __init__ creates the lock eagerly; this lazy fallback (guarded by
-        # a module-level lock so two threads can't each install a different
-        # per-engine lock) only serves bare instances built without
-        # __init__ in tests — the hot path never takes the global lock
-        if not hasattr(self, "_temporal_members_lock"):
-            with _TEMPORAL_LOCK_INIT:
-                if not hasattr(self, "_temporal_members_lock"):
-                    self._temporal_members_lock = threading.RLock()
-                    self._temporal_members = set()
-        return self._temporal_members_lock
 
-    def _temporal_position(self, name: str) -> int:
-        """Global stream position of a frame: its rank in the sorted set of
-        known stream members.
 
-        Flow files (``flow_bwd/{i}.npy``) are indexed by POSITION in the
-        sorted frame stream (tools/optical_flow.py numbers by list index,
-        whatever the frames are named) — NOT parsed from filenames, whose
-        numbering may be 1-based (make_sample_scene) while positions are
-        0-based. Rank-in-sorted-members (rather than a first-seen counter)
-        makes the index (a) survive watch-service restarts over a partially
-        stylized directory — watch_directory registers already-stylized
-        frames from their outputs — (b) keep a given-up frame's slot for
-        its retry, and (c) stay immune to TRANSIENT files: watch mode only
-        registers a frame after its mtime settles, so a half-written file
-        that is deleted again never occupies a position and can't shift
-        every later frame onto the wrong flow (review r3). A member whose
-        name sorts before an already-processed frame arriving late shifts
-        only FUTURE positions — toward the true final-list index."""
-        with self._temporal_lock():
-            self._temporal_members.add(name)
-            members = sorted(self._temporal_members)
-        return members.index(name)
 
-    def _process_directory_temporal(self, files, load_one, output_dir,
-                                    writer, mask_dir=None,
-                                    progress: bool = True) -> None:
-        """Temporal-guide stylization: each frame's input gains channels
-        holding the flow-warped previous *stylized* frame.
 
-        guide_i = warp(stylized_{i-1}, flow_bwd[i]) where flow_bwd[i] is the
-        i -> i-1 correspondence — read from flow_dir/{i}.npy (written by
-        tools/optical_flow.py) with flow_source=files, or computed ON
-        DEVICE (_temporal_device_flow: the same pyramidal-LK over PIL-exact
-        grayscale the tool's backend="tpu" runs, against the previous
-        frame's device-resident gray) with flow_source=device — no flow
-        upload, no preprocessing pass. Frame 0 bootstraps with its own RGB.
-        The previous output stays on device in [-1, 1]; only the uint8
-        frame is fetched. The chain is inherently sequential (frame i
-        depends on i-1), so device dispatches can't pipeline — but
-        everything around them can: frame i+1's decode and flow .npy /
-        flow-mask load run in a worker thread while the device stylizes
-        frame i, and frame i's uint8 readback (the tunnel's 8-90 ms/frame)
-        overlaps frame i+1's compute, since only the DEVICE-resident float
-        output feeds the chain. Requires a checkpoint trained with the
-        matching temporal channels (see tools/temporal_guide.py).
-        """
-        from concurrent.futures import ThreadPoolExecutor
 
-        from PIL import Image
-        from tqdm import tqdm
 
-        flow_dir = Path(self.temporal_flow_dir) if self.temporal_flow_dir \
-            else None
-        device_flow = self.temporal_flow_source == "device"
 
-        # Chain state lives on the engine so watch mode continues the warp
-        # chain (and the global flow index) across polls; a fresh engine —
-        # every one-shot CLI run — starts clean. Positions are keyed by
-        # NAME so a watch-mode retry of a failed frame reuses its original
-        # stream position instead of drifting every later frame's flow.
-        def gi_of(path: Path) -> int:
-            return self._temporal_position(path.name)
-
-        def load_flow(i: int):
-            if flow_dir is None:
-                return None
-            flow_path = flow_dir / (f"{self.temporal_format % i}.npy")
-            if not flow_path.exists():
-                return None
-            flow = np.load(str(flow_path))
-            if self.temporal_flow_f16 and flow.dtype != np.float16:
-                flow = flow.astype(np.float16)  # halve the dominant H2D
-            return flow
-
-        def load_flow_mask(p: Path):
-            """Raw flow mask with the TOOL's semantics (optical_flow.py
-            _read_mask: PIL 'L', > 127 — distinct from the composite
-            mask's > 128 dataset parity). Missing mask -> None (unmasked
-            flow, like an all-true mask)."""
-            if mask_dir is None:
-                return None
-            resolved = find_corresponding_image(str(mask_dir), p.name)
-            if not os.path.exists(resolved):
-                return None
-            arr = np.asarray(Image.open(resolved).convert("L"))
-            if self.mask_packed:
-                # bit-packed wire form: 8x fewer bytes on the chain's
-                # sequential critical path (_temporal_device_flow unpacks)
-                return np.packbits(arr > 127)
-            return (arr > 127).astype(np.uint8)
-
-        def load_aux(p: Path):
-            # per-frame sidecar riding the prefetch thread: the flow .npy
-            # (files) or the raw flow mask (device)
-            return load_flow_mask(p) if device_flow \
-                else load_flow(gi_of(p))
-
-        prev_float = getattr(self, "_temporal_prev", None)
-        prev_gray = getattr(self, "_temporal_prev_gray", None)
-        pending = None  # (band futures, save_path, boxes) being read back
-        pool = ThreadPoolExecutor(max_workers=1)
-        futures = {0: pool.submit(load_one, files[0])} if files else {}
-        flow_futures = {0: pool.submit(load_aux, files[0])} \
-            if files else {}
-        # The chain is one frame at a time, so the group-level concurrent
-        # drain can't apply — instead each frame's readback is split into
-        # row bands fetched by concurrent threads (intra-frame slicing
-        # measured ~1.3x a single stream; tools/profile_transport.py).
-        # K=4 is the measured configuration for INTRA-frame banding (~1.3x
-        # one stream; tools/profile_transport.py slice4 rows) — row bands
-        # of one frame do not multiplex like independent whole-frame
-        # fetches, and smaller bands pay more per-RPC overhead, so the
-        # 6-stream whole-frame numbers do not transfer here
-        K = max(1, min(4, self.readback_streams))
-        fetch_pool = ThreadPoolExecutor(max_workers=K)
-
-        def submit_fetch(u8):
-            h = int(u8.shape[0])
-            if K == 1 or h < 8 * K:
-                bands = [u8]
-            else:
-                cuts = [h * j // K for j in range(K + 1)]
-                bands = [u8[cuts[j]:cuts[j + 1]] for j in range(K)]
-            for b in bands:
-                try:
-                    b.copy_to_host_async()
-                except Exception:
-                    pass
-            return [fetch_pool.submit(np.asarray, b) for b in bands]
-
-        def drain_pending():
-            nonlocal pending
-            if pending is None:
-                return
-            band_futs, save_path, boxes, crop = pending
-            pending = None
-            parts = [f.result() for f in band_futs]
-            arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
-            if crop is not None:
-                # crop_readback: only the mask-support bbox was fetched;
-                # outside it the composite equals the input bytes exactly
-                (y0, y1, x0, x1), rgb_u8 = crop
-                img = rgb_u8.copy()
-                img[y0:y1, x0:x1] = arr
-            else:
-                img = arr
-            writer.submit(str(save_path), img)
-            if self.debug_mode:
-                self.patch_positions = boxes
-                self._save_debug_overlay(img, str(save_path))
-
-        for i, input_path in enumerate(tqdm(files, desc="Temporal frames",
-                                            disable=not progress)):
-            gi = gi_of(input_path)  # global stream position (flow files are
-            #                         indexed by it, not the batch index)
-            if i + 1 < len(files):
-                futures[i + 1] = pool.submit(load_one, files[i + 1])
-                flow_futures[i + 1] = pool.submit(load_aux, files[i + 1])
-            try:
-                # pop BOTH futures before any .result() so a failed decode
-                # can't leak the (multi-MB) flow entry in flow_futures
-                frame_f = futures.pop(i)
-                flow_f = flow_futures.pop(i)
-                frame, mask, rgb_u8, mbox, _boxes, _cw = frame_f.result()
-                aux = flow_f.result()  # flow .npy | raw flow mask | None
-                # one fused dispatch builds the generator input: on-device
-                # normalization of the (possibly uint8) frame + warp of the
-                # device-resident previous output + guide concat
-                # (_temporal_prep; the chain is sequential, so every saved
-                # eager round-trip comes straight off the critical path)
-                fdev = jnp.asarray(frame)  # upload once, reuse below
-                if device_flow:
-                    if prev_float is not None and prev_gray is not None:
-                        fmask = None if aux is None else jnp.asarray(aux)
-                        flow_in, gray = _temporal_device_flow(
-                            fdev, prev_gray, fmask,
-                            self.temporal_flow_scale)
-                        prev_in = prev_float
-                    else:
-                        gray = _device_gray(fdev)
-                        prev_in, flow_in = None, None  # bootstrap
-                elif prev_float is None or flow_dir is None:
-                    prev_in, flow_in = None, None  # bootstrap: own RGB
-                elif aux is not None:
-                    prev_in, flow_in = prev_float, jnp.asarray(aux)
-                else:
-                    self.logger.warning(
-                        f"No flow for frame {gi} "
-                        f"({flow_dir / (self.temporal_format % gi)}.npy); "
-                        f"using unwarped previous output")
-                    prev_in, flow_in = prev_float, None
-                full = _temporal_prep(fdev, prev_in, flow_in,
-                                      self.temporal_depth)
-                # reuse the tile boxes the prefetch thread already walked
-                # (load_one) instead of re-running the nonzero scan on the
-                # sequential chain's critical path
-                u8, out_float, boxes = self._stylize_device(
-                    full, mask, boxes=_boxes)
-                prev_float = out_float
-                if device_flow:
-                    prev_gray = gray
-                # crop the D2H fetch to the mask-support bbox (the chain
-                # state prev_float stays FULL-frame on device, so the warp
-                # chain is untouched; only the host readback shrinks)
-                crop = None
-                if self.crop_readback:
-                    bbox = compute_crop_bbox(
-                        [mbox], *np.shape(frame)[:2])
-                    self._last_crop = bbox
-                    if bbox is not None:
-                        y0, y1, x0, x1 = bbox
-                        u8 = u8[y0:y1, x0:x1]
-                        crop = (bbox, rgb_u8)
-                band_futs = submit_fetch(u8)
-                try:
-                    # PREVIOUS frame's readback, overlapped with this
-                    # frame's compute. A deferred error here belongs to
-                    # that frame — this frame's output and the warp chain
-                    # are intact, so don't drop them or restart the chain
-                    drain_pending()
-                except Exception as e:
-                    self.logger.error(
-                        f"Readback failed for the previous frame: {e}")
-                pending = (band_futs, output_dir / input_path.name, boxes,
-                           crop)
-            except Exception as e:
-                self.logger.error(f"Failed to process {input_path.name}: {e}")
-                prev_float = None  # restart the temporal chain
-                prev_gray = None
-                continue
-        try:
-            drain_pending()
-        except Exception as e:
-            self.logger.error(f"Readback failed for the last frame: {e}")
-        self._temporal_prev = prev_float
-        self._temporal_prev_gray = prev_gray
-        pool.shutdown(wait=False)
-        fetch_pool.shutdown(wait=False)
-
-    def _detect_streams(self, input_dir: Path) -> List[str]:
-        """Subdirectory-per-video layout for multi-stream temporal serving:
-        input_dir holds no images itself but >= 1 subdirectory that does."""
-        if _image_files(input_dir):
-            return []
-        try:
-            subdirs = list(input_dir.iterdir())
-        except (FileNotFoundError, NotADirectoryError):
-            return []  # input dir removed mid-watch: go quiet, don't crash
-        return sorted(
-            d.name for d in subdirs if d.is_dir() and _image_files(d))
-
-    def _ms_info(self, name: str, files, mask_dir: Path, flow_root):
-        """Per-stream serving state: the file queue, per-stream aux dirs,
-        the warp-chain carry (prev stylized output / prev grayscale), and
-        the set of known stream members. Files-mode flows are indexed by a
-        frame's RANK in the sorted member set — the multi-stream form of
-        _temporal_position, so watch retries/restarts keep positions."""
-        chans = {n: dict(c, path=str(Path(c["path"]) / name))
-                 for n, c in self.additional_channels.items()}
-        mdir = mask_dir / name
-        masked = not mask_dir.name.endswith("ignore")
-        if masked and not mdir.exists():
-            raise FileNotFoundError(f"Mask directory not found: {mdir}")
-        return dict(name=name, files=list(files), chans=chans, mdir=mdir,
-                    masked=masked,
-                    fdir=(flow_root / name) if flow_root else None,
-                    prev=None, prev_gray=None, idx=0,
-                    members={p.name for p in files})
-
-    def _ms_load_frame(self, info, i: int):
-        """Decode one stream frame + its mask/aux (worker-thread side).
-
-        The aux slot carries the mode's wire payload: the raw (>127) flow
-        mask for flow_source=device (bit-packed when mask_upload=packed),
-        or the flow_dir/<stream>/{pos}.npy field for files mode, resolved
-        by the frame's member rank — equal to its sorted-list index in a
-        one-shot run, and stable across watch polls and retries."""
-        from PIL import Image
-
-        p = info["files"][i]
-        frame, rgb_u8 = self._load_frame(
-            str(p), with_rgb_u8=True, channels=info["chans"])
-        mask = None
-        if info["masked"]:
-            mask = self._load_eroded_mask(
-                str(info["mdir"] / p.name), frame.shape[:2])
-        mbox = mask_support_bbox(mask) if mask is not None else None
-        aux = None
-        if self.temporal_flow_source == "device":
-            # raw flow mask, the TOOL's semantics (> 127); missing ->
-            # unmasked flow — mirrors the single-stream load_flow_mask
-            resolved = find_corresponding_image(str(info["mdir"]), p.name)
-            if os.path.exists(resolved):
-                arr = np.asarray(Image.open(resolved).convert("L"))
-                aux = np.packbits(arr > 127) if self.mask_packed \
-                    else (arr > 127).astype(np.uint8)
-        elif info["fdir"] is not None:
-            pos = sorted(info["members"]).index(p.name)
-            fp = info["fdir"] / f"{self.temporal_format % pos}.npy"
-            if fp.exists():
-                aux = np.load(str(fp))
-                if self.temporal_flow_f16 and aux.dtype != np.float16:
-                    aux = aux.astype(np.float16)
-        # tile layout on the worker thread too — the nonzero walk is pure
-        # host work that has no place on the sequential cycle thread
-        eff = mask if mask is not None else np.ones(frame.shape[:2],
-                                                    np.float32)
-        boxes = tile_boxes_from_mask(eff, self.patch_size,
-                                     self.overlap_percent)
-        return frame, mask, rgb_u8, mbox, aux, p.name, eff, boxes
-
-    def _ms_run_cycles(self, infos, writer, load_pool, fetch_pool,
-                       output_dir: Path, shape_ref,
-                       progress: bool = True) -> None:
-        """Drain every stream's file queue as interleaved chain cycles.
-
-        Each cycle takes the next frame from every live stream, runs the
-        per-stream temporal prologue (on-device flow + fused warp/concat —
-        exactly the single-stream dispatches), then stylizes ALL streams'
-        frames in ONE co-batched multiframe dispatch while every stream's
-        uint8 readback drains concurrently over the fetch pool. Chains
-        never mix: stream k's guide warps stream k's own previous output.
-        Chain state (prev/prev_gray) lives on the info dicts, so a caller
-        that keeps them (_watch_multistream) carries chains across calls;
-        shape_ref pins the one compiled resolution the same way. All
-        pending readbacks are drained before returning."""
-        from tqdm import tqdm
-
-        device_flow = self.temporal_flow_source == "device"
-        pending = []  # (fetch future, save path, crop, boxes)
-
-        def drain_one():
-            fut, save_path, crop, boxes = pending.pop(0)
-            try:
-                arr = fut.result()
-            except Exception as e:
-                self.logger.error(f"Readback failed for "
-                                  f"{Path(save_path).name}: {e}")
-                return
-            if crop is not None:
-                (y0, y1, x0, x1), rgb_u8 = crop
-                img = rgb_u8.copy()
-                img[y0:y1, x0:x1] = arr
-            else:
-                img = arr
-            writer.submit(str(save_path), img)
-            if self.debug_mode:
-                self.patch_positions = boxes
-                self._save_debug_overlay(img, str(save_path))
-
-        total = sum(len(i["files"]) - i["idx"] for i in infos)
-        bar = tqdm(total=total, desc="Temporal frames (multi-stream)",
-                   disable=not progress)
-
-        def submit_loads():
-            return [(info,
-                     load_pool.submit(self._ms_load_frame, info,
-                                      info["idx"]))
-                    for info in infos if info["idx"] < len(info["files"])]
-
-        subs = submit_loads()
-        while subs:
-            for info, _ in subs:
-                info["idx"] += 1
-            next_subs = submit_loads()  # next cycle rides the load pool
-            batch = []
-            for info, fut in subs:
-                try:
-                    (frame, mask, rgb_u8, mbox, aux, fname, eff,
-                     boxes) = fut.result()
-                    if shape_ref[0] is None:
-                        shape_ref[0] = frame.shape
-                    elif frame.shape != shape_ref[0]:
-                        raise ValueError(
-                            f"stream {info['name']} is "
-                            f"{frame.shape[:2]}, others "
-                            f"{shape_ref[0][:2]} — all streams must share "
-                            "one resolution")
-                    fdev = jnp.asarray(frame)
-                    if device_flow:
-                        if info["prev"] is not None and \
-                                info["prev_gray"] is not None:
-                            fmask = None if aux is None else \
-                                jnp.asarray(aux)
-                            flow_in, gray = _temporal_device_flow(
-                                fdev, info["prev_gray"], fmask,
-                                self.temporal_flow_scale)
-                            prev_in = info["prev"]
-                        else:
-                            gray = _device_gray(fdev)
-                            prev_in, flow_in = None, None  # bootstrap
-                    else:
-                        gray = None
-                        if info["prev"] is None or info["fdir"] is None:
-                            prev_in, flow_in = None, None
-                        elif aux is not None:
-                            prev_in, flow_in = info["prev"], \
-                                jnp.asarray(aux)
-                        else:
-                            self.logger.warning(
-                                f"No flow for {info['name']}/{fname}; "
-                                f"using unwarped previous output")
-                            prev_in, flow_in = info["prev"], None
-                    full = _temporal_prep(fdev, prev_in, flow_in,
-                                          self.temporal_depth)
-                    batch.append((info, full, eff, boxes, rgb_u8, mbox,
-                                  gray, fname))
-                except Exception as e:
-                    self.logger.error(
-                        f"Failed to process {info['name']} frame: {e}")
-                    info["prev"] = info["prev_gray"] = None  # restart
-            if batch:
-                if len(batch) == 1:
-                    _i, full, eff, boxes, *_ = batch[0]
-                    u8b, outf, _ = self._stylize_device(full, eff,
-                                                        boxes=boxes)
-                    u8s, outs = [u8b], [outf]
-                else:
-                    u8b, outb = self._stylize_group(
-                        [b[1] for b in batch], [b[2] for b in batch],
-                        [b[3] for b in batch])
-                    u8s = [u8b[k] for k in range(len(batch))]
-                    outs = [outb[k] for k in range(len(batch))]
-                for k, (info, full, eff, boxes, rgb_u8, mbox, gray,
-                        fname) in enumerate(batch):
-                    info["prev"] = outs[k]
-                    if device_flow:
-                        info["prev_gray"] = gray
-                    u8 = u8s[k]
-                    crop = None
-                    if self.crop_readback and mbox is not None:
-                        bbox = compute_crop_bbox([mbox],
-                                                 *shape_ref[0][:2])
-                        if bbox is not None:
-                            y0, y1, x0, x1 = bbox
-                            u8 = u8[y0:y1, x0:x1]
-                            crop = (bbox, rgb_u8)
-                    try:
-                        u8.copy_to_host_async()
-                    except Exception:
-                        pass
-                    pending.append((
-                        fetch_pool.submit(np.asarray, u8),
-                        output_dir / info["name"] / fname, crop, boxes))
-                    bar.update(1)
-                # keep enough fetches in flight to multiplex the wire,
-                # drain the rest so memory stays bounded
-                while len(pending) > self.readback_streams + len(infos):
-                    drain_one()
-            subs = next_subs
-        while pending:
-            drain_one()
-        bar.close()
-
-    def _process_multistream(self, streams, input_dir: Path,
-                             mask_dir: Path, output_dir: Path,
-                             progress: bool = True) -> None:
-        """Serve N independent videos (one subdirectory each) as
-        interleaved temporal chains on ONE chip.
-
-        A single warp chain is inherently sequential — frame i needs frame
-        i-1's stylized output — so one stream can't co-batch its own frames
-        (the 512p tile bucket runs 170/256 = 66% full) and its readback
-        gaps leave the wire idle. N streams break both limits: see
-        _ms_run_cycles (byte-parity vs N separate single-stream runs:
-        tests/test_temporal.py::test_multistream_*).
-
-        Layout: paths.input_dir/<stream>/*.png, masks at
-        paths.mask_dir/<stream>/, guide channels at <channel.path>/
-        <stream>/, flows (flow_source=files) at temporal.flow_dir/
-        <stream>/; outputs land in paths.output_dir/<stream>/. All streams
-        must share one resolution (one compiled program serves every
-        cycle). Multi-host runs shard whole STREAMS round-robin per
-        process (chains are per-stream state, so hosts need no
-        communication). Watch mode serves the same layout via
-        _watch_multistream."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        from patch_toon_tpu.native import FrameWriter
-
-        if self.devices != 1:
-            raise ValueError(
-                "multi-stream temporal serving is per-chip (inference."
-                "devices=1); run one process per chip and shard streams")
-        if jax.process_count() > 1:
-            streams = streams[jax.process_index()::jax.process_count()]
-            self.logger.info(
-                f"Multi-host: this process serves streams {streams}")
-        flow_root = Path(self.temporal_flow_dir) \
-            if self.temporal_flow_dir else None
-
-        infos = []
-        for s in streams:
-            files = _image_files(input_dir / s)
-            infos.append(self._ms_info(s, files, mask_dir, flow_root))
-            (output_dir / s).mkdir(parents=True, exist_ok=True)
-        total = sum(len(i["files"]) for i in infos)
-        self.logger.info(
-            f"Multi-stream temporal serving: {len(infos)} streams, "
-            f"{total} frames, co-batched {len(infos)} frames/dispatch")
-
-        writer = FrameWriter(num_threads=2)
-        load_pool = ThreadPoolExecutor(max_workers=2)
-        fetch_pool = ThreadPoolExecutor(
-            max_workers=max(4, min(8, self.readback_streams)))
-        try:
-            self._ms_run_cycles(infos, writer, load_pool, fetch_pool,
-                                output_dir, [None], progress=progress)
-        finally:
-            load_pool.shutdown(wait=False)
-            fetch_pool.shutdown(wait=False)
-            failed = writer.flush()
-            writer.close()
-            if failed:
-                self.logger.error(f"{failed} frame writes failed")
-
-    def _watch_multistream(self, wcfg) -> None:
-        """Watch-serve N videos (paths.input_dir/<stream>/*.png) as
-        persistent interleaved temporal chains on one chip.
-
-        The multi-stream analogue of watch_directory (no reference
-        equivalent — generator.py is one-shot): each poll picks up settled
-        new frames per stream IN ORDER — a frame whose mask/guide channels
-        haven't landed blocks its OWN stream (chains advance sequentially)
-        but never the others — then every stream's new frames run through
-        the co-batched cycle runner. Chain state, stream flow positions,
-        the compiled-resolution pin and warm programs persist across
-        polls; new stream subdirectories join live (once their mask dir
-        exists, when masks are required). Multi-host runs shard whole
-        streams by a stable name hash. Frames already stylized at start
-        keep their stream positions (their outputs register them), so a
-        service restart over a half-served directory resumes every
-        chain's flow indexing correctly — the chain itself restarts from
-        the first new frame's RGB bootstrap, exactly like single-stream
-        watch."""
-        import time as _time
-        import zlib
-        from concurrent.futures import ThreadPoolExecutor
-
-        from patch_toon_tpu.native import FrameWriter
-
-        if self.devices != 1:
-            raise ValueError(
-                "multi-stream temporal serving is per-chip (inference."
-                "devices=1); run one process per chip and shard streams")
-        poll = float(wcfg.get("poll_seconds", 1.0))
-        idle_timeout = float(wcfg.get("idle_timeout_seconds") or 0)
-        max_attempts = int(wcfg.get("max_attempts", 3))
-        aux_warn_after = float(wcfg.get("aux_warn_seconds", 30.0))
-        input_dir = Path(self.cfg.paths.input_dir)
-        output_dir = Path(self.cfg.paths.output_dir)
-        mask_dir = Path(self.cfg.paths.mask_dir)
-        mask_needed = not mask_dir.name.endswith("ignore")
-        flow_root = Path(self.temporal_flow_dir) \
-            if self.temporal_flow_dir else None
-        nproc, me = jax.process_count(), jax.process_index()
-
-        writer = FrameWriter(num_threads=2)
-        load_pool = ThreadPoolExecutor(max_workers=2)
-        fetch_pool = ThreadPoolExecutor(
-            max_workers=max(4, min(8, self.readback_streams)))
-        shape_ref = [None]
-        infos: Dict[str, dict] = {}
-        done: Dict[str, set] = {}
-        attempts: Dict[str, int] = {}
-        waiting_since: Dict[str, float] = {}
-        aux_warned: set = set()
-
-        def aux_ready(info, p: Path) -> bool:
-            if info["masked"] and not os.path.exists(
-                    find_corresponding_image(str(info["mdir"]), p.name)):
-                return False
-            for ccfg in info["chans"].values():
-                if not os.path.exists(
-                        find_corresponding_image(ccfg["path"], str(p))):
-                    return False
-            return True
-
-        idle = 0.0
-        self.logger.info(
-            f"Watching {input_dir} (multi-stream temporal, poll {poll}s, "
-            f"idle timeout {idle_timeout or 'none'})")
-        try:
-            while True:
-                now = _time.time()
-                for s in self._detect_streams(input_dir):
-                    if s in infos or (nproc > 1 and
-                                      zlib.crc32(s.encode()) % nproc != me):
-                        continue
-                    if mask_needed and not (mask_dir / s).exists():
-                        continue  # producer hasn't created it yet
-                    info = self._ms_info(s, [], mask_dir, flow_root)
-                    (output_dir / s).mkdir(parents=True, exist_ok=True)
-                    prior = {q.name for q in
-                             _image_files(output_dir / s)}
-                    info["members"] |= prior  # keep restart positions
-                    done[s] = set(prior)
-                    infos[s] = info
-                    self.logger.info(
-                        f"Stream {s}: serving" + (
-                            f" ({len(prior)} already stylized)"
-                            if prior else ""))
-                new_total = 0
-                for s, info in infos.items():
-                    fresh = []
-                    for p in _image_files(input_dir / s):
-                        if p.name in done[s] \
-                                or (output_dir / s / p.name).exists():
-                            info["members"].add(p.name)
-                            done[s].add(p.name)
-                            continue
-                        key = f"{s}/{p.name}"
-                        try:
-                            if p.stat().st_mtime > now - max(0.25,
-                                                             poll / 2):
-                                break  # settling: chain order, stream waits
-                        except OSError:
-                            break
-                        info["members"].add(p.name)
-                        if not aux_ready(info, p):
-                            first = waiting_since.setdefault(key, now)
-                            if key not in aux_warned \
-                                    and now - first >= aux_warn_after:
-                                aux_warned.add(key)
-                                self.logger.warning(
-                                    f"{key}: mask/guide channels still "
-                                    f"missing after {now - first:.0f}s; "
-                                    "its stream stays blocked until they "
-                                    "arrive")
-                            break  # chain order: only THIS stream blocks
-                        waiting_since.pop(key, None)
-                        aux_warned.discard(key)
-                        fresh.append(p)
-                    info["files"] = fresh
-                    info["idx"] = 0
-                    new_total += len(fresh)
-                if new_total:
-                    try:
-                        self._ms_run_cycles(
-                            list(infos.values()), writer, load_pool,
-                            fetch_pool, output_dir, shape_ref,
-                            progress=False)
-                    except Exception as e:
-                        # the service must outlive a bad batch; per-frame
-                        # attempts below decide retry vs give-up
-                        self.logger.error(f"Batch failed: {e}")
-                    writer.flush()
-                    for s, info in infos.items():
-                        for p in info["files"]:
-                            key = f"{s}/{p.name}"
-                            if (output_dir / s / p.name).exists():
-                                done[s].add(p.name)
-                                idle = 0.0
-                            else:
-                                attempts[key] = attempts.get(key, 0) + 1
-                                if attempts[key] >= max_attempts:
-                                    self.logger.error(
-                                        f"Giving up on {key} after "
-                                        f"{max_attempts} attempts")
-                                    done[s].add(p.name)
-                    self.logger.info(
-                        f"Stylized {new_total} new frame(s) across "
-                        f"{len(infos)} stream(s)")
-                _time.sleep(poll)
-                idle += poll
-                if idle_timeout and idle >= idle_timeout:
-                    self.logger.info(
-                        f"No new frames for {idle:.0f}s; stopping watch")
-                    return
-        finally:
-            load_pool.shutdown(wait=False)
-            fetch_pool.shutdown(wait=False)
-            failed = writer.flush()
-            writer.close()
-            if failed:
-                self.logger.error(f"{failed} frame writes failed")
