@@ -59,23 +59,28 @@ def _gradients(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def _bilinear_take(img: jax.Array, ys: jax.Array, xs: jax.Array
                    ) -> jax.Array:
-    """Clamped bilinear sampling of (H, W, C) at (ys, xs) via FLAT 1-D
-    row takes.
+    """Clamped bilinear sampling of (H, W, C) at (ys, xs) via ONE FLAT
+    1-D take.
 
     ``jax.scipy.ndimage.map_coordinates`` lowers to XLA's generic N-D
-    gather, which the TPU backend executes poorly. Two rewrites, both
+    gather, which the TPU backend executes poorly. Three rewrites, all
     bit-identical (tests/test_temporal.py):
     - flatten to linear indices and gather rows of a 2-D array (the
       repo's bf16-tile-gather lesson, applied to warps);
     - pre-pair each pixel with its +x neighbor (edge-padded, so the
       pairing IS the x-clamp) so one take fetches both x-interpolation
-      taps — HALF the gather descriptors, which is what the gather is
-      bound by (slice bytes barely matter: c=1 and c=3 both ~9 ms).
-    Together: 21.3 -> 8.9 ms at 540x960x3 (interleaved minima, quiet
-    chip; the gap widens hugely under queue pressure) — and this sits on
-    the temporal chain's sequential critical path once per frame plus
-    once per LK iteration. Semantics match map_coordinates(order=1,
-    mode="nearest"): coordinates clamp to the edge.
+      taps (r3: 21.3 -> 8.9 ms at 540x960x3);
+    - r4: pre-pair the +y row as well — the quad array holds all FOUR
+      bilinear taps [(y,x), (y+1,x), (y,x+1), (y+1,x+1)] per linear
+      index, so the whole interpolation needs ONE take instead of two.
+      The gather is DESCRIPTOR-bound, not slice-byte-bound (c=1 and c=3
+      cost the same), so halving descriptors again is nearly free
+      bandwidth-wise (the quad build is a sequential-read concat).
+    This sits on the temporal chain's sequential critical path once per
+    frame plus once per LK iteration. Semantics match
+    map_coordinates(order=1, mode="nearest"): coordinates clamp to the
+    edge — the +1 row/column of the edge-padded image IS the clamp at
+    both borders.
     """
     h, w, c = img.shape
     ys = jnp.clip(ys, 0.0, h - 1.0)
@@ -86,20 +91,18 @@ def _bilinear_take(img: jax.Array, ys: jax.Array, xs: jax.Array
     fx = (xs - x0f)[..., None]
     y0 = y0f.astype(jnp.int32)
     x0 = x0f.astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    # (H, W+1, C) edge pad: index x0+1 at x0 = w-1 reads the duplicated
-    # edge column — exactly the x-clamp map_coordinates applies
-    pad = jnp.pad(img, ((0, 0), (0, 1), (0, 0)), mode="edge")
-    flat = pad.reshape(h * (w + 1), c)
-    pairs = jnp.concatenate([flat[:-1], flat[1:]], axis=1)  # [x | x+1]
-
-    def take2(yy):
-        g = jnp.take(pairs, (yy * (w + 1) + x0).reshape(-1), axis=0)
-        g = g.reshape(ys.shape + (2, c))
-        return g[..., 0, :], g[..., 1, :]
-
-    a, b = take2(y0)
-    c0, d = take2(y1)
+    w1 = w + 1
+    # (H+1, W+1, C) edge pad: the duplicated last row/column make y0+1 /
+    # x0+1 at the border read the clamped tap (== min(y0+1, h-1))
+    pad = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    flat = pad.reshape((h + 1) * w1, c)
+    rowpair = jnp.concatenate([flat[:-w1], flat[w1:]], axis=1)
+    # quad[i] = [(y,x), (y+1,x), (y,x+1), (y+1,x+1)] for i = y*w1 + x
+    quad = jnp.concatenate([rowpair[:-1], rowpair[1:]], axis=1)
+    g = jnp.take(quad, (y0 * w1 + x0).reshape(-1), axis=0)
+    g = g.reshape(ys.shape + (4, c))
+    a, c0 = g[..., 0, :], g[..., 1, :]   # (y0,x0), (y1,x0)
+    b, d = g[..., 2, :], g[..., 3, :]    # (y0,x1), (y1,x1)
     return (a * (1 - fx) + b * fx) * (1 - fy) \
         + (c0 * (1 - fx) + d * fx) * fy
 
