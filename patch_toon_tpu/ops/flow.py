@@ -83,6 +83,29 @@ def _bilinear_take(img: jax.Array, ys: jax.Array, xs: jax.Array
     both borders.
     """
     h, w, c = img.shape
+    return _quad_sample(_quad_pack(img), h, w, c, ys, xs)
+
+
+def _quad_pack(img: jax.Array) -> jax.Array:
+    """Build the 4-tap gather table for :func:`_quad_sample`.
+
+    (H+1, W+1, C) edge pad — the duplicated last row/column make y0+1 /
+    x0+1 at the border read the clamped tap (== min(y0+1, h-1)) — then
+    ``quad[y*(w+1)+x] = [(y,x), (y+1,x), (y,x+1), (y+1,x+1)]``. Split
+    from the sampling so LK can build it ONCE per level and reuse it
+    across every refinement iteration (the warped image i2 is
+    loop-invariant; only the sample coordinates change)."""
+    h, w, c = img.shape
+    w1 = w + 1
+    pad = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    flat = pad.reshape((h + 1) * w1, c)
+    rowpair = jnp.concatenate([flat[:-w1], flat[w1:]], axis=1)
+    return jnp.concatenate([rowpair[:-1], rowpair[1:]], axis=1)
+
+
+def _quad_sample(quad: jax.Array, h: int, w: int, c: int,
+                 ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Sample a :func:`_quad_pack` table at (ys, xs), bilinear, clamped."""
     ys = jnp.clip(ys, 0.0, h - 1.0)
     xs = jnp.clip(xs, 0.0, w - 1.0)
     y0f = jnp.floor(ys)
@@ -91,15 +114,7 @@ def _bilinear_take(img: jax.Array, ys: jax.Array, xs: jax.Array
     fx = (xs - x0f)[..., None]
     y0 = y0f.astype(jnp.int32)
     x0 = x0f.astype(jnp.int32)
-    w1 = w + 1
-    # (H+1, W+1, C) edge pad: the duplicated last row/column make y0+1 /
-    # x0+1 at the border read the clamped tap (== min(y0+1, h-1))
-    pad = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
-    flat = pad.reshape((h + 1) * w1, c)
-    rowpair = jnp.concatenate([flat[:-w1], flat[w1:]], axis=1)
-    # quad[i] = [(y,x), (y+1,x), (y,x+1), (y+1,x+1)] for i = y*w1 + x
-    quad = jnp.concatenate([rowpair[:-1], rowpair[1:]], axis=1)
-    g = jnp.take(quad, (y0 * w1 + x0).reshape(-1), axis=0)
+    g = jnp.take(quad, (y0 * (w + 1) + x0).reshape(-1), axis=0)
     g = g.reshape(ys.shape + (4, c))
     a, c0 = g[..., 0, :], g[..., 1, :]   # (y0,x0), (y1,x0)
     b, d = g[..., 2, :], g[..., 3, :]    # (y0,x1), (y1,x1)
@@ -117,8 +132,17 @@ def _warp(img: jax.Array, flow: jax.Array) -> jax.Array:
 
 def _lk_refine(i1: jax.Array, i2: jax.Array, flow: jax.Array,
                window: int, iters: int, eps: float) -> jax.Array:
+    h, w = i2.shape
+    # the gather table over i2 is loop-invariant: build it ONCE per level
+    # instead of per iteration (hoisted explicitly — don't rely on XLA's
+    # loop-invariant code motion reaching through the scan body)
+    quad = _quad_pack(i2[..., None])
+    gy = jnp.arange(h, dtype=flow.dtype)[:, None]
+    gx = jnp.arange(w, dtype=flow.dtype)[None, :]
+
     def one_iter(flow, _):
-        warped = _warp(i2, flow)
+        warped = _quad_sample(quad, h, w, 1,
+                              gy + flow[..., 1], gx + flow[..., 0])[..., 0]
         ix, iy = _gradients(warped)
         it = warped - i1
 
