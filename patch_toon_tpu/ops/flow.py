@@ -24,21 +24,24 @@ import jax.numpy as jnp
 
 
 def _box_filter(x: jax.Array, k: int) -> jax.Array:
-    """Separable ones-filter over HW (same padding), channels preserved."""
-    ones_h = jnp.ones((k, 1, 1, 1), x.dtype)
-    ones_w = jnp.ones((1, k, 1, 1), x.dtype)
+    """Separable ones-filter over HW (same padding), channels preserved.
+
+    Formulated as a fused shift-add stencil, not a conv: LK's window sums
+    ride 5 channels, and a 5-channel grouped TPU conv uses 5 of the VPU's
+    128 lanes — measured ~22 GB/s effective (41% of dense_flow,
+    docs/perf/lk_parts_r4.json). A k-tap sum of shifted slices fuses into
+    ONE elementwise kernel with full lane utilization (the minor axis
+    stays W). Summation order is ascending-offset, deterministic; it can
+    differ from the conv's internal accumulation order by fp32 roundoff —
+    flow values are identical between the tool and the engine (same code)
+    either way, and LK's own estimator error dwarfs 1-ulp window sums
+    (PARITY_NOTES #22)."""
     pad = k // 2
-    y = x[None]
-    for kernel, pads in ((ones_h, ((pad, pad), (0, 0))),
-                         (ones_w, ((0, 0), (pad, pad)))):
-        c = y.shape[-1]
-        y = jax.lax.conv_general_dilated(
-            y, jnp.tile(kernel, (1, 1, 1, c)),
-            window_strides=(1, 1), padding=pads,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-        )
-    return y[0]
+    h, w = x.shape[0], x.shape[1]
+    y = jnp.pad(x, ((pad, pad), (0, 0), (0, 0)))
+    y = sum(y[d:d + h] for d in range(k))
+    y = jnp.pad(y, ((0, 0), (pad, pad), (0, 0)))
+    return sum(y[:, d:d + w] for d in range(k))
 
 
 def _downsample2(img: jax.Array) -> jax.Array:
@@ -146,10 +149,9 @@ def _lk_refine(i1: jax.Array, i2: jax.Array, flow: jax.Array,
         ix, iy = _gradients(warped)
         it = warped - i1
 
-        # all five window sums in ONE grouped separable conv (channels
-        # stacked): 2 convs per iteration instead of 10 — 15.8 -> 11.2
-        # ms/iter at 540x960 (the warp rewrite covers the other half of
-        # the iteration cost)
+        # all five window sums ride one fused shift-add stencil over the
+        # 5-channel stack (see _box_filter: the 5-lane grouped conv this
+        # replaced ran at ~22 GB/s effective)
         s = _box_filter(
             jnp.stack([ix * ix, ix * iy, iy * iy, ix * it, iy * it],
                       axis=-1), window)
