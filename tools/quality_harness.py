@@ -382,6 +382,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out", default=str(REPO / "docs" / "quality"))
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--torch-only", action="store_true",
+                    help="resume/finish only the torch leg against "
+                         "already-committed ours/ frames (the torch leg "
+                         "checkpoints every 100 steps; this continues it "
+                         "without retraining the TPU stack)")
     args = ap.parse_args()
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -392,15 +397,31 @@ def main():
     print(f"scene: {len(names)} keyframes, "
           f"{sum(len(c) for c in centers)} valid centers", flush=True)
 
-    # ---- our stack (TPU/accelerator) -----------------------------------
-    model, state, our_losses = train_ours(args.steps, args.batch, args.seed)
-    stylize_ours(model, state, out_dir)
+    if args.torch_only:
+        # Ours leg already trained + stylized (frames in out_dir/ours).
+        # vgg weights are the deterministic seed-42 fallback — identical to
+        # what train_ours handed the torch leg originally.
+        missing = [n for n in names if not (out_dir / "ours" / n).exists()]
+        if missing:
+            raise SystemExit(f"--torch-only but ours frames missing: {missing}")
+        from patch_toon_tpu.models.perception import init_vgg_params
+        vgg_params = init_vgg_params((0, 3, 5))["params"]
+        our_losses = []
+        qj = out_dir / "quality.json"
+        if qj.exists():
+            our_losses = json.loads(qj.read_text()).get("our_losses", [])
+    else:
+        # ---- our stack (TPU/accelerator) -------------------------------
+        model, state, our_losses = train_ours(args.steps, args.batch,
+                                              args.seed)
+        stylize_ours(model, state, out_dir)
+        vgg_params = state.vgg_params
 
     # ---- torch replica (CPU) -------------------------------------------
     import torch_oracle
     tgen, torch_losses = train_torch_replica(
         args.steps, args.batch, frames6, posts, centers,
-        state.vgg_params, args.seed,
+        vgg_params, args.seed,
         ckpt_path=out_dir / "torch_train.ckpt")
     (out_dir / "torch").mkdir(exist_ok=True)
     for n, f6, m in zip(names, frames6, mask_imgs):
@@ -439,11 +460,13 @@ def main():
     }
     with open(out_dir / "quality.json", "w") as f:
         json.dump(payload, f, indent=1)
-    write_quality_md(payload, out_dir)
+    # The repo-root QUALITY.md is the cumulative multi-run document (r3);
+    # only the per-run copy is auto-written — merge the new row by hand.
+    write_quality_md(payload, out_dir, root=False)
     print(f"done -> {out_dir}/quality.json, QUALITY.md", flush=True)
 
 
-def write_quality_md(p, out_dir: Path):
+def write_quality_md(p, out_dir: Path, root: bool = True):
     try:
         out_rel = out_dir.resolve().relative_to(REPO)
     except ValueError:
@@ -488,13 +511,18 @@ def write_quality_md(p, out_dir: Path):
         "|---|---|---|---|---|",
     ]
     tl = {r["step"]: r for r in p["torch_losses"]}
-    for r in p["our_losses"]:
+    nan = float("nan")
+    ours_rows = p["our_losses"] or [
+        {"step": r["step"], "g_total": nan, "d_total": nan}
+        for r in p["torch_losses"]]
+    for r in ours_rows:
         t = tl.get(r["step"], {})
         lines.append(f"| {r['step']} | {r['g_total']:.4f} | "
                      f"{t.get('g_total', float('nan')):.4f} | "
                      f"{r['d_total']:.4f} | "
                      f"{t.get('d_total', float('nan')):.4f} |")
-    (REPO / "QUALITY.md").write_text("\n".join(lines) + "\n")
+    if root:
+        (REPO / "QUALITY.md").write_text("\n".join(lines) + "\n")
     (out_dir / "QUALITY.md").write_text("\n".join(lines) + "\n")
 
 
