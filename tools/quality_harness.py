@@ -179,6 +179,24 @@ def train_torch_replica(steps, batch, frames6, posts, centers, vgg_params,
 
     import torch_oracle
 
+    if ckpt_path is not None:
+        # Two concurrent harness instances race on the checkpoint file
+        # (multi-hour legs get resumed from other shells): hold an
+        # exclusive flock for the whole leg and refuse to start if
+        # another instance already holds it.
+        import fcntl
+
+        lock = open(str(ckpt_path) + ".lock", "w")
+        try:
+            fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            raise SystemExit(
+                f"another torch leg is already running on {ckpt_path} "
+                "(lock held) — check `ps aux | grep quality` before "
+                "resuming")
+        # keep `lock` referenced for the duration of the function
+        globals()["_TORCH_CKPT_LOCK"] = lock
+
     torch.manual_seed(seed)
     gen = torch_oracle.load_reference_module("generator").GeneratorJ(
         input_channels=6, use_bias=True, tanh=True, append_smoothers=True,
@@ -388,6 +406,14 @@ def main():
                          "checkpoints every 100 steps; this continues it "
                          "without retraining the TPU stack)")
     args = ap.parse_args()
+    if args.torch_only:
+        # The torch leg never needs the TPU, but this file still imports
+        # jax (valid_centers_np, init_vgg_params) — pin the CPU backend
+        # BEFORE any backend init or the axon plugin grabs the tunnel and
+        # can hang forever on a stale lease (CLAUDE.md gotcha; the env var
+        # alone is insufficient, the plugin prepends itself).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
