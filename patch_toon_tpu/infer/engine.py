@@ -581,6 +581,91 @@ class StyleTransferInference(TemporalMixin, MultiStreamMixin,
         img.save(debug_path)
 
 
+    def _resolve_shard_files(self, files: List[Path],
+                             explicit_files: bool) -> Optional[List[Path]]:
+        """Multi-host frame partitioning for pod streaming.
+
+        Per-frame stylization is stateless, so hosts need NO communication
+        — each worker takes a round-robin slice of the frame list
+        (inference.file_shard: "i/N", auto-derived per process when
+        jax.distributed is up). Watch mode shards by name hash before
+        calling (``explicit_files``). Returns this process's files, or
+        None when it has no work (temporal multi-host: frames chain
+        sequentially, so only process 0 stylizes)."""
+        shard = self.cfg.get("inference", {}).get("file_shard")
+        if explicit_files:
+            shard = False  # watch mode shards by name hash before calling
+        if shard is None and jax.process_count() > 1:
+            if self.temporal_enabled:
+                self.logger.warning(
+                    "Multi-host run with the temporal guide: frames chain "
+                    "sequentially, so only process 0 stylizes (shard whole "
+                    "videos across hosts instead)")
+                if jax.process_index() != 0:
+                    return None
+            else:
+                # multi-host pod streaming: round-robin frame partition per
+                # process (stateless per-frame work, no communication)
+                shard = f"{jax.process_index()}/{jax.process_count()}"
+        if shard:
+            if self.temporal_enabled:
+                raise ValueError(
+                    "inference.file_shard is incompatible with the temporal "
+                    "guide (frame i depends on frame i-1); shard videos, "
+                    "not frames")
+            idx, n = (int(x) for x in str(shard).split("/"))
+            if not 0 <= idx < n:
+                raise ValueError(f"file_shard {shard}: index out of range")
+            files = files[idx::n]
+            self.logger.info(f"File shard {idx}/{n}")
+        return files
+
+    def _load_for_dispatch(self, input_path: Path, mask_dir: Path,
+                           crop_up: bool):
+        """Decode + stage one frame for dispatch (prefetch-thread side):
+        frame (device-resident on single-chip runs), eroded mask, the raw
+        uint8 RGB (host-side paste source for cropped readbacks), the
+        mask-support bbox, tile boxes, and the upload-crop window."""
+        frame, rgb_u8 = self._load_frame(str(input_path), with_rgb_u8=True)
+        mask = self._load_eroded_mask(
+            str(mask_dir / input_path.name), frame.shape[:2])
+        # Mask-support bbox for crop_readback — tile boxes can
+        # under-cover the mask (stride-sampled speckle masks,
+        # fullframe mode), so the bbox must come from the mask
+        # itself. Computed here so the scans ride the prefetch
+        # threads; maskless frames stylize everywhere (None).
+        mbox = mask_support_bbox(mask) if mask is not None else None
+        boxes = tile_boxes_from_mask(
+            mask if mask is not None
+            else np.ones(frame.shape[:2], np.float32),
+            self.patch_size, self.overlap_percent)
+        cropwin = None
+        if crop_up and mask is not None:
+            # the mask-support bbox rides along: stride-sampled tile
+            # placement can skip speckle pixels, and those must land
+            # inside the window for bit-parity (upload_crop_window)
+            cropwin = upload_crop_window(boxes, *frame.shape[:2],
+                                         self.patch_size,
+                                         support_bbox=mbox)
+        if cropwin is not None:
+            # crop frame+mask to the window BEFORE upload and shift
+            # the tile boxes into window coordinates — bit-identical
+            # to the full-frame dispatch (see upload_crop_window);
+            # rgb_u8 stays full for the host-side paste
+            y0, y1, x0, x1 = cropwin
+            frame = frame[y0:y1, x0:x1]
+            mask = mask[y0:y1, x0:x1]
+            boxes = [(b[0] - y0, b[1] - y0, b[2] - x0, b[3] - x0)
+                     for b in boxes]
+        if self.devices == 1:
+            # upload from the prefetch thread: H2D overlaps the main
+            # loop's compute + readback instead of serializing in
+            # dispatch (the upload is the dominant wire cost on
+            # constrained links — tools/ab_upload.py). Pod runs keep
+            # host arrays: their upload targets a device_put sharding.
+            frame = jax.device_put(frame)
+        return frame, mask, rgb_u8, mbox, boxes, cropwin
+
     def process_directory(self, files: Optional[List[Path]] = None,
                           progress: bool = True) -> None:
         """Stylize every frame in paths.input_dir as a streaming pipeline.
@@ -623,36 +708,9 @@ class StyleTransferInference(TemporalMixin, MultiStreamMixin,
         if files is None:
             files = _image_files(input_dir)
 
-        # Multi-host pod streaming: per-frame stylization is stateless, so
-        # hosts need NO communication — each worker takes a round-robin
-        # slice of the frame list (inference.file_shard: "i/N") and drives
-        # its own local chips (optionally with inference.devices > 1).
-        shard = self.cfg.get("inference", {}).get("file_shard")
-        if explicit_files:
-            shard = False  # watch mode shards by name hash before calling
-        if shard is None and jax.process_count() > 1:
-            if self.temporal_enabled:
-                self.logger.warning(
-                    "Multi-host run with the temporal guide: frames chain "
-                    "sequentially, so only process 0 stylizes (shard whole "
-                    "videos across hosts instead)")
-                if jax.process_index() != 0:
-                    return
-            else:
-                # multi-host pod streaming: round-robin frame partition per
-                # process (stateless per-frame work, no communication)
-                shard = f"{jax.process_index()}/{jax.process_count()}"
-        if shard:
-            if self.temporal_enabled:
-                raise ValueError(
-                    "inference.file_shard is incompatible with the temporal "
-                    "guide (frame i depends on frame i-1); shard videos, "
-                    "not frames")
-            idx, n = (int(x) for x in str(shard).split("/"))
-            if not 0 <= idx < n:
-                raise ValueError(f"file_shard {shard}: index out of range")
-            files = files[idx::n]
-            self.logger.info(f"File shard {idx}/{n}")
+        files = self._resolve_shard_files(files, explicit_files)
+        if files is None:
+            return  # temporal multi-host: this process has no work
         self.logger.info(f"Found {len(files)} images to process")
 
         # crop_upload applies to masked tiled streaming only: fullframe
@@ -662,50 +720,8 @@ class StyleTransferInference(TemporalMixin, MultiStreamMixin,
                    and not self.temporal_enabled)
 
         def load_one(input_path: Path):
-            frame, rgb_u8 = self._load_frame(str(input_path),
-                                             with_rgb_u8=True)
-            mask = self._load_eroded_mask(
-                str(mask_dir / input_path.name), frame.shape[:2])
-            # Mask-support bbox for crop_readback — tile boxes can
-            # under-cover the mask (stride-sampled speckle masks,
-            # fullframe mode), so the bbox must come from the mask
-            # itself. Computed here so the scans ride the prefetch
-            # threads; maskless frames stylize everywhere (None).
-            mbox = mask_support_bbox(mask) if mask is not None else None
-            boxes = tile_boxes_from_mask(
-                mask if mask is not None
-                else np.ones(frame.shape[:2], np.float32),
-                self.patch_size, self.overlap_percent)
-            cropwin = None
-            if crop_up and mask is not None:
-                # the mask-support bbox rides along: stride-sampled tile
-                # placement can skip speckle pixels, and those must land
-                # inside the window for bit-parity (upload_crop_window)
-                cropwin = upload_crop_window(boxes, *frame.shape[:2],
-                                             self.patch_size,
-                                             support_bbox=mbox)
-            if cropwin is not None:
-                # crop frame+mask to the window BEFORE upload and shift
-                # the tile boxes into window coordinates — bit-identical
-                # to the full-frame dispatch (see upload_crop_window);
-                # rgb_u8 stays full for the host-side paste
-                y0, y1, x0, x1 = cropwin
-                frame = frame[y0:y1, x0:x1]
-                mask = mask[y0:y1, x0:x1]
-                boxes = [(b[0] - y0, b[1] - y0, b[2] - x0, b[3] - x0)
-                         for b in boxes]
-            if self.devices == 1:
-                # upload from the prefetch thread: H2D overlaps the main
-                # loop's compute + readback instead of serializing in
-                # dispatch (the upload is the dominant wire cost on
-                # constrained links — tools/ab_upload.py). Pod runs keep
-                # host arrays: their upload targets a device_put sharding.
-                frame = jax.device_put(frame)
-            return frame, mask, rgb_u8, mbox, boxes, cropwin
+            return self._load_for_dispatch(input_path, mask_dir, crop_up)
 
-        # (per-frame fetch Futures, per-frame tile boxes, save paths, crop)
-        in_flight: List[Tuple[List[Any], List[List[Box]], List[Path],
-                              Any]] = []
         writer = FrameWriter(num_threads=2)
 
         if self.temporal_enabled:
@@ -722,109 +738,7 @@ class StyleTransferInference(TemporalMixin, MultiStreamMixin,
                     self.logger.error(f"{failed} frame writes failed")
             return
 
-        # fetch pool: each in-flight group's D2H readback runs in its own
-        # thread so transfers overlap on the wire — the tunnel multiplexes
-        # (4 concurrent fetches measured 1.8x one serial fetch's bandwidth,
-        # tools/profile_transport.py); a serial drain leaves that unused
-        fetch_pool = ThreadPoolExecutor(max_workers=self.readback_streams)
-
-        def drain_one():
-            futs, group_boxes, save_paths, crop = in_flight.pop(0)
-            failed = []  # (name, error) — the transfers are independent,
-            # so one frame's failure must not drop its siblings' data
-            for k, save_path in enumerate(save_paths):
-                try:
-                    img = futs[k].result()  # (H, W, 3) or cropped (bh,bw,3)
-                except Exception as e:
-                    failed.append((save_path.name, e))
-                    continue
-                if crop is not None:
-                    bboxes, rgb_u8s = crop  # per-frame paste windows
-                    y0, y1, x0, x1 = bboxes[k]
-                    full = rgb_u8s[k].copy()
-                    full[y0:y1, x0:x1] = img
-                    img = full
-                writer.submit(str(save_path), img)
-                if self.debug_mode:
-                    self.patch_positions = group_boxes[k]
-                    self._save_debug_overlay(img, str(save_path))
-            if failed:
-                # log EVERY (name, error) pair with its traceback first:
-                # chaining only failed[0] would hide a distinct root cause
-                # when a flaky tunnel fails several fetches differently
-                for n, err in failed:
-                    self.logger.error(f"readback failed for {n}",
-                                      exc_info=err)
-                names = ", ".join(f"{n}: {e!r}" for n, e in failed)
-                raise RuntimeError(
-                    f"readback failed for [{names}]") from failed[0][1]
-
-        def crop_bbox(mask_boxes, h, w):
-            if not self.crop_readback:
-                return None
-            return compute_crop_bbox(mask_boxes, h, w)
-
-        def dispatch_group(group):
-            frames = [g[0] for g in group]
-            masks = [g[1] for g in group]
-            group_boxes = [g[2] for g in group]
-            paths = [output_dir / g[3].name for g in group]
-            if self.devices != 1:
-                out = self._stylize_group_pod(frames, masks, group_boxes)
-            elif len(group) == 1:
-                u8, _, _ = self._stylize_device(frames[0], masks[0],
-                                                boxes=group_boxes[0])
-                out = u8[None]
-            else:
-                out, _ = self._stylize_group(frames, masks, group_boxes)
-            cropwins = [g[6] for g in group]
-            if cropwins[0] is not None:
-                # upload-cropped group: the program already ran on the
-                # window, so the whole (small) output ships and pastes at
-                # each frame's own window origin. Debug overlays need the
-                # tile boxes back in full-frame coordinates.
-                crop = (cropwins, [g[4] for g in group])
-                self._last_crop = cropwins[0]  # introspection/tests
-                group_boxes = [
-                    [(b[0] + cw[0], b[1] + cw[0], b[2] + cw[2], b[3] + cw[2])
-                     for b in bx]
-                    for bx, cw in zip(group_boxes, cropwins)]
-            else:
-                crop = None
-                bbox = crop_bbox([g[5] for g in group],
-                                 *frames[0].shape[:2])
-                self._last_crop = bbox  # introspection/tests
-                if bbox is not None:
-                    y0, y1, x0, x1 = bbox
-                    out = out[:, y0:y1, x0:x1]
-                    crop = ([bbox] * len(group), [g[4] for g in group])
-            # fetch PER FRAME, not per group: slicing the (F, h, w, 3)
-            # output into F device arrays multiplies concurrent wire
-            # streams (the tunnel multiplexes ~2x at 6 streams) and
-            # restores 1-frame granularity at fpd>1 — measured 3.7x
-            # streaming vs the whole-group fetch on a contended tunnel
-            # (tools/profile_sliced_fetch.py, docs/perf/sliced_fetch_r3)
-            slices = [out[k] for k in range(out.shape[0])]
-            for s in slices:
-                try:
-                    s.copy_to_host_async()
-                except Exception:
-                    pass
-            in_flight.append(([fetch_pool.submit(np.asarray, s)
-                               for s in slices],
-                              group_boxes, paths, crop))
-            # window counted in FRAMES (the fetch unit), deep enough to
-            # keep readback_streams transfers truly concurrent while the
-            # device runs ahead — the measured configuration
-            # (tools/profile_sliced_fetch.py, bench._submit_frames)
-            while sum(len(g[0]) for g in in_flight) > \
-                    self.readback_streams + 2 and len(in_flight) > 1:
-                try:
-                    drain_one()
-                except Exception as e:
-                    # a deferred device error belongs to the DRAINED group
-                    # (already popped), not the group just dispatched
-                    self.logger.error(f"Readback failed: {e}")
+        pipe = _GroupPipeline(self, writer, output_dir)
 
         group: List[Any] = []
 
@@ -837,7 +751,7 @@ class StyleTransferInference(TemporalMixin, MultiStreamMixin,
                 return
             g, group = group, []
             try:
-                dispatch_group(g)
+                pipe.dispatch(g)
             except Exception as e:
                 # a failed dispatch drops EVERY frame in the group —
                 # name them all, not just the one that tripped it
@@ -881,22 +795,8 @@ class StyleTransferInference(TemporalMixin, MultiStreamMixin,
                         eff_mask = mask if mask is not None else np.ones(
                             frame.shape[:2], np.float32)
                         if group_size is None:
-                            fpd = frames_per_dispatch(
-                                max(1, len(boxes)), target=self.max_tile_batch)
-                            if fpd_cfg != "auto":
-                                fpd = max(1, int(fpd_cfg))
-                            if self.devices != 1:
-                                self._pod_fpd = fpd
-                                group_size = self._mesh.devices.size * fpd
-                                self.logger.info(
-                                    f"Pod co-batching: {fpd} frames/chip x "
-                                    f"{self._mesh.devices.size} chips/dispatch "
-                                    f"(~{len(boxes)} tiles/frame)")
-                            else:
-                                group_size = fpd
-                                self.logger.info(
-                                    f"Co-batching {group_size} frames/dispatch "
-                                    f"(~{len(boxes)} tiles/frame)")
+                            group_size = self._decide_group_size(
+                                len(boxes), fpd_cfg)
                         # a co-batched dispatch needs every frame in the
                         # group at ONE shape: upload-cropped windows bucket to
                         # 128-multiples so a stable mask reuses one shape, but
@@ -926,19 +826,32 @@ class StyleTransferInference(TemporalMixin, MultiStreamMixin,
             # queue flushed even when an interrupt lands mid-stream — an
             # in-flight frame either reaches disk or is logged, never
             # silently dropped
-            while in_flight:
-                # deferred device errors surface at the tail fetch; drop
-                # only the group whose fetch failed and keep draining the
-                # rest (they are independent dispatches)
-                try:
-                    drain_one()
-                except Exception as e:
-                    self.logger.error(f"Tail drain failed for a group: {e}")
-            fetch_pool.shutdown(wait=False)
+            pipe.drain_all()
+            pipe.close()
             failed = writer.flush()
             writer.close()
             if failed:
                 self.logger.error(f"{failed} frame writes failed")
+
+    def _decide_group_size(self, n_boxes: int, fpd_cfg) -> int:
+        """Frames per dispatch group, decided from frame 0's tile count:
+        co-batch frames so the tile bucket stays full
+        (tiling.frames_per_dispatch); pod runs multiply by the mesh size
+        (fpd frames per chip per dispatch)."""
+        fpd = frames_per_dispatch(max(1, n_boxes),
+                                  target=self.max_tile_batch)
+        if fpd_cfg != "auto":
+            fpd = max(1, int(fpd_cfg))
+        if self.devices != 1:
+            self._pod_fpd = fpd
+            self.logger.info(
+                f"Pod co-batching: {fpd} frames/chip x "
+                f"{self._mesh.devices.size} chips/dispatch "
+                f"(~{n_boxes} tiles/frame)")
+            return self._mesh.devices.size * fpd
+        self.logger.info(f"Co-batching {fpd} frames/dispatch "
+                         f"(~{n_boxes} tiles/frame)")
+        return fpd
 
     def _ensure_mesh(self) -> None:
         from patch_toon_tpu.parallel import make_mesh, replicate
@@ -1063,6 +976,140 @@ class StyleTransferInference(TemporalMixin, MultiStreamMixin,
             fboxes, weights,
             jnp.asarray(self._mask_wire(np.stack(masks))))
         return u8, out_float
+
+
+class _GroupPipeline:
+    """Dispatch → per-frame sliced fetch → bounded drain for grouped
+    streaming — the device/wire half of ``process_directory`` (extracted
+    r5, VERDICT r4 #6). Owns the in-flight readback window and the fetch
+    pool; the engine owns dispatch itself (`_stylize_*`).
+
+    Group tuples are ``(frame, eff_mask, boxes, input_path, rgb_u8, mbox,
+    cropwin)`` as staged by ``_load_for_dispatch``."""
+
+    def __init__(self, engine, writer, output_dir: Path):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.e = engine
+        self.writer = writer
+        self.output_dir = output_dir
+        # fetch pool: each in-flight group's D2H readback runs in its own
+        # thread so transfers overlap on the wire — the tunnel multiplexes
+        # (4 concurrent fetches measured 1.8x one serial fetch's bandwidth,
+        # tools/profile_transport.py); a serial drain leaves that unused
+        self.fetch_pool = ThreadPoolExecutor(
+            max_workers=engine.readback_streams)
+        # (per-frame fetch Futures, per-frame tile boxes, save paths, crop)
+        self.in_flight: List[Tuple[List[Any], List[List[Box]], List[Path],
+                                   Any]] = []
+
+    def drain_one(self) -> None:
+        e = self.e
+        futs, group_boxes, save_paths, crop = self.in_flight.pop(0)
+        failed = []  # (name, error) — the transfers are independent,
+        # so one frame's failure must not drop its siblings' data
+        for k, save_path in enumerate(save_paths):
+            try:
+                img = futs[k].result()  # (H, W, 3) or cropped (bh,bw,3)
+            except Exception as err:
+                failed.append((save_path.name, err))
+                continue
+            if crop is not None:
+                bboxes, rgb_u8s = crop  # per-frame paste windows
+                y0, y1, x0, x1 = bboxes[k]
+                full = rgb_u8s[k].copy()
+                full[y0:y1, x0:x1] = img
+                img = full
+            self.writer.submit(str(save_path), img)
+            if e.debug_mode:
+                e.patch_positions = group_boxes[k]
+                e._save_debug_overlay(img, str(save_path))
+        if failed:
+            # log EVERY (name, error) pair with its traceback first:
+            # chaining only failed[0] would hide a distinct root cause
+            # when a flaky tunnel fails several fetches differently
+            for n, err in failed:
+                e.logger.error(f"readback failed for {n}", exc_info=err)
+            names = ", ".join(f"{n}: {err!r}" for n, err in failed)
+            raise RuntimeError(
+                f"readback failed for [{names}]") from failed[0][1]
+
+    def dispatch(self, group) -> None:
+        e = self.e
+        frames = [g[0] for g in group]
+        masks = [g[1] for g in group]
+        group_boxes = [g[2] for g in group]
+        paths = [self.output_dir / g[3].name for g in group]
+        if e.devices != 1:
+            out = e._stylize_group_pod(frames, masks, group_boxes)
+        elif len(group) == 1:
+            u8, _, _ = e._stylize_device(frames[0], masks[0],
+                                         boxes=group_boxes[0])
+            out = u8[None]
+        else:
+            out, _ = e._stylize_group(frames, masks, group_boxes)
+        cropwins = [g[6] for g in group]
+        if cropwins[0] is not None:
+            # upload-cropped group: the program already ran on the
+            # window, so the whole (small) output ships and pastes at
+            # each frame's own window origin. Debug overlays need the
+            # tile boxes back in full-frame coordinates.
+            crop = (cropwins, [g[4] for g in group])
+            e._last_crop = cropwins[0]  # introspection/tests
+            group_boxes = [
+                [(b[0] + cw[0], b[1] + cw[0], b[2] + cw[2], b[3] + cw[2])
+                 for b in bx]
+                for bx, cw in zip(group_boxes, cropwins)]
+        else:
+            crop = None
+            bbox = compute_crop_bbox([g[5] for g in group],
+                                     *frames[0].shape[:2]) \
+                if e.crop_readback else None
+            e._last_crop = bbox  # introspection/tests
+            if bbox is not None:
+                y0, y1, x0, x1 = bbox
+                out = out[:, y0:y1, x0:x1]
+                crop = ([bbox] * len(group), [g[4] for g in group])
+        # fetch PER FRAME, not per group: slicing the (F, h, w, 3)
+        # output into F device arrays multiplies concurrent wire
+        # streams (the tunnel multiplexes ~2x at 6 streams) and
+        # restores 1-frame granularity at fpd>1 — measured 3.7x
+        # streaming vs the whole-group fetch on a contended tunnel
+        # (tools/profile_sliced_fetch.py, docs/perf/sliced_fetch_r3)
+        slices = [out[k] for k in range(out.shape[0])]
+        for s in slices:
+            try:
+                s.copy_to_host_async()
+            except Exception:
+                pass
+        self.in_flight.append(([self.fetch_pool.submit(np.asarray, s)
+                                for s in slices],
+                               group_boxes, paths, crop))
+        # window counted in FRAMES (the fetch unit), deep enough to
+        # keep readback_streams transfers truly concurrent while the
+        # device runs ahead — the measured configuration
+        # (tools/profile_sliced_fetch.py, bench._submit_frames)
+        while sum(len(g[0]) for g in self.in_flight) > \
+                e.readback_streams + 2 and len(self.in_flight) > 1:
+            try:
+                self.drain_one()
+            except Exception as err:
+                # a deferred device error belongs to the DRAINED group
+                # (already popped), not the group just dispatched
+                e.logger.error(f"Readback failed: {err}")
+
+    def drain_all(self) -> None:
+        while self.in_flight:
+            # deferred device errors surface at the tail fetch; drop
+            # only the group whose fetch failed and keep draining the
+            # rest (they are independent dispatches)
+            try:
+                self.drain_one()
+            except Exception as err:
+                self.e.logger.error(f"Tail drain failed for a group: {err}")
+
+    def close(self) -> None:
+        self.fetch_pool.shutdown(wait=False)
 
 
 

@@ -111,6 +111,184 @@ class MultiStreamMixin:
                                      self.overlap_percent)
         return frame, mask, rgb_u8, mbox, aux, p.name, eff, boxes
 
+    def _ms_drain_one(self, pending, writer) -> None:
+        """Resolve the oldest pending readback and hand it to the writer
+        (host-side crop paste + debug overlay included). A failed fetch is
+        logged, never raised — cycles are independent dispatches."""
+        fut, save_path, crop, boxes = pending.pop(0)
+        try:
+            arr = fut.result()
+        except Exception as e:
+            self.logger.error(f"Readback failed for "
+                              f"{Path(save_path).name}: {e}")
+            return
+        if crop is not None:
+            (y0, y1, x0, x1), rgb_u8 = crop
+            img = rgb_u8.copy()
+            img[y0:y1, x0:x1] = arr
+        else:
+            img = arr
+        writer.submit(str(save_path), img)
+        if self.debug_mode:
+            self.patch_positions = boxes
+            self._save_debug_overlay(img, str(save_path))
+
+    def _ms_resolve_loads(self, subs, shape_ref) -> List[dict]:
+        """Cycle pass 1: resolve the worker-thread loads and upload each
+        stream's frame; a failed decode restarts only its own chain. The
+        first resolved frame pins the one compiled resolution
+        (``shape_ref``)."""
+        loaded = []
+        for info, fut in subs:
+            try:
+                (frame, mask, rgb_u8, mbox, aux, fname, eff,
+                 boxes) = fut.result()
+                if shape_ref[0] is None:
+                    shape_ref[0] = frame.shape
+                elif frame.shape != shape_ref[0]:
+                    raise ValueError(
+                        f"stream {info['name']} is "
+                        f"{frame.shape[:2]}, others "
+                        f"{shape_ref[0][:2]} — all streams must share "
+                        "one resolution")
+                loaded.append(dict(
+                    info=info, fdev=jnp.asarray(frame), mask=mask,
+                    rgb_u8=rgb_u8, mbox=mbox, aux=aux, fname=fname,
+                    eff=eff, boxes=boxes))
+            except Exception as e:
+                self.logger.error(
+                    f"Failed to process {info['name']} frame: {e}")
+                info["prev"] = info["prev_gray"] = None  # restart
+        return loaded
+
+    def _ms_cycle_flow_hits(self, loaded, shape_ref) -> Dict[int, tuple]:
+        """Cycle pass 2 (device flow): optionally co-batch the cycle's LK
+        flows into ONE vmapped dispatch across streams. Measured NEGATIVE
+        on v5e (docs/perf/flow_batch_r4.json: vmapped LK is 0.70-0.85x
+        sequential per-flow at every batch size — the batch's 3-D gathers
+        lose to K 2-D ones), so per-stream dispatches are the default;
+        flow_batch>1 opts in for transports where dispatch latency
+        dominates device time."""
+        flow_hits: Dict[int, tuple] = {}
+        if self.temporal_flow_source != "device" \
+                or self.temporal_flow_batch <= 1:
+            return flow_hits
+        live = [k for k, e in enumerate(loaded)
+                if e["info"]["prev"] is not None
+                and e["info"]["prev_gray"] is not None]
+        if len(live) > 1:
+            h_, w_ = shape_ref[0][:2]
+            auxs = [loaded[k]["aux"] for k in live]
+            if all(a is None for a in auxs):
+                fmasks = None
+            else:
+                ones = _packed_ones_mask(h_, w_) \
+                    if self.mask_packed \
+                    else np.ones((h_, w_), np.uint8)
+                fmasks = jnp.asarray(np.stack(
+                    [ones if a is None else a for a in auxs]))
+            flows, grays = _temporal_flow_pairs(
+                jnp.stack([loaded[k]["fdev"] for k in live]),
+                jnp.stack([loaded[k]["info"]["prev_gray"]
+                           for k in live]),
+                fmasks, self.temporal_flow_scale)
+            for t, k in enumerate(live):
+                flow_hits[k] = (flows[t], grays[t])
+        return flow_hits
+
+    def _ms_cycle_prologue(self, loaded, flow_hits) -> List[tuple]:
+        """Cycle pass 3: per-stream temporal prologue — on-device flow (or
+        the files-mode flow upload) + fused warp/guide-concat, exactly the
+        single-stream dispatches. A failed prologue restarts only its own
+        chain."""
+        device_flow = self.temporal_flow_source == "device"
+        batch = []
+        for k, e in enumerate(loaded):
+            info, fdev, aux, fname = \
+                e["info"], e["fdev"], e["aux"], e["fname"]
+            try:
+                if device_flow:
+                    if info["prev"] is not None and \
+                            info["prev_gray"] is not None:
+                        hit = flow_hits.get(k)
+                        if hit is not None:
+                            flow_in, gray = hit
+                        else:
+                            fmask = None if aux is None else \
+                                jnp.asarray(aux)
+                            flow_in, gray = _temporal_device_flow(
+                                fdev, info["prev_gray"], fmask,
+                                self.temporal_flow_scale)
+                        prev_in = info["prev"]
+                    else:
+                        gray = _device_gray(fdev)
+                        prev_in, flow_in = None, None  # bootstrap
+                else:
+                    gray = None
+                    if info["prev"] is None or info["fdir"] is None:
+                        prev_in, flow_in = None, None
+                    elif aux is not None:
+                        prev_in, flow_in = info["prev"], \
+                            jnp.asarray(aux)
+                    else:
+                        self.logger.warning(
+                            f"No flow for {info['name']}/{fname}; "
+                            f"using unwarped previous output")
+                        prev_in, flow_in = info["prev"], None
+                full = _temporal_prep(fdev, prev_in, flow_in,
+                                      self.temporal_depth)
+                batch.append((info, full, e["eff"], e["boxes"],
+                              e["rgb_u8"], e["mbox"], gray, fname))
+            except Exception as exc:
+                self.logger.error(
+                    f"Failed to process {info['name']} frame: {exc}")
+                info["prev"] = info["prev_gray"] = None  # restart
+        return batch
+
+    def _ms_dispatch_cycle(self, batch, pending, fetch_pool,
+                           output_dir: Path, writer, shape_ref, bar,
+                           max_pending: int) -> None:
+        """Cycle pass 4: stylize ALL streams' prepared frames in ONE
+        co-batched multiframe dispatch, advance each chain's carry, submit
+        per-frame (optionally cropped) readbacks, and drain past the
+        in-flight bound."""
+        device_flow = self.temporal_flow_source == "device"
+        if len(batch) == 1:
+            _i, full, eff, boxes, *_ = batch[0]
+            u8b, outf, _ = self._stylize_device(full, eff, boxes=boxes)
+            u8s, outs = [u8b], [outf]
+        else:
+            u8b, outb = self._stylize_group(
+                [b[1] for b in batch], [b[2] for b in batch],
+                [b[3] for b in batch])
+            u8s = [u8b[k] for k in range(len(batch))]
+            outs = [outb[k] for k in range(len(batch))]
+        for k, (info, full, eff, boxes, rgb_u8, mbox, gray,
+                fname) in enumerate(batch):
+            info["prev"] = outs[k]
+            if device_flow:
+                info["prev_gray"] = gray
+            u8 = u8s[k]
+            crop = None
+            if self.crop_readback and mbox is not None:
+                bbox = compute_crop_bbox([mbox], *shape_ref[0][:2])
+                if bbox is not None:
+                    y0, y1, x0, x1 = bbox
+                    u8 = u8[y0:y1, x0:x1]
+                    crop = (bbox, rgb_u8)
+            try:
+                u8.copy_to_host_async()
+            except Exception:
+                pass
+            pending.append((
+                fetch_pool.submit(np.asarray, u8),
+                output_dir / info["name"] / fname, crop, boxes))
+            bar.update(1)
+        # keep enough fetches in flight to multiplex the wire,
+        # drain the rest so memory stays bounded
+        while len(pending) > max_pending:
+            self._ms_drain_one(pending, writer)
+
     def _ms_run_cycles(self, infos, writer, load_pool, fetch_pool,
                        output_dir: Path, shape_ref,
                        progress: bool = True) -> None:
@@ -125,31 +303,12 @@ class MultiStreamMixin:
         Chain state (prev/prev_gray) lives on the info dicts, so a caller
         that keeps them (_watch_multistream) carries chains across calls;
         shape_ref pins the one compiled resolution the same way. All
-        pending readbacks are drained before returning."""
+        pending readbacks are drained before returning. The four passes
+        live in ``_ms_resolve_loads`` / ``_ms_cycle_flow_hits`` /
+        ``_ms_cycle_prologue`` / ``_ms_dispatch_cycle``."""
         from tqdm import tqdm
 
-        device_flow = self.temporal_flow_source == "device"
         pending = []  # (fetch future, save path, crop, boxes)
-
-        def drain_one():
-            fut, save_path, crop, boxes = pending.pop(0)
-            try:
-                arr = fut.result()
-            except Exception as e:
-                self.logger.error(f"Readback failed for "
-                                  f"{Path(save_path).name}: {e}")
-                return
-            if crop is not None:
-                (y0, y1, x0, x1), rgb_u8 = crop
-                img = rgb_u8.copy()
-                img[y0:y1, x0:x1] = arr
-            else:
-                img = arr
-            writer.submit(str(save_path), img)
-            if self.debug_mode:
-                self.patch_positions = boxes
-                self._save_debug_overlay(img, str(save_path))
-
         total = sum(len(i["files"]) - i["idx"] for i in infos)
         bar = tqdm(total=total, desc="Temporal frames (multi-stream)",
                    disable=not progress)
@@ -166,147 +325,22 @@ class MultiStreamMixin:
                 for info, _ in subs:
                     info["idx"] += 1
                 next_subs = submit_loads()  # next cycle rides the load pool
-                # pass 1: resolve loads; upload each stream's frame
-                loaded = []
-                for info, fut in subs:
-                    try:
-                        (frame, mask, rgb_u8, mbox, aux, fname, eff,
-                         boxes) = fut.result()
-                        if shape_ref[0] is None:
-                            shape_ref[0] = frame.shape
-                        elif frame.shape != shape_ref[0]:
-                            raise ValueError(
-                                f"stream {info['name']} is "
-                                f"{frame.shape[:2]}, others "
-                                f"{shape_ref[0][:2]} — all streams must share "
-                                "one resolution")
-                        loaded.append(dict(
-                            info=info, fdev=jnp.asarray(frame), mask=mask,
-                            rgb_u8=rgb_u8, mbox=mbox, aux=aux, fname=fname,
-                            eff=eff, boxes=boxes))
-                    except Exception as e:
-                        self.logger.error(
-                            f"Failed to process {info['name']} frame: {e}")
-                        info["prev"] = info["prev_gray"] = None  # restart
-                # pass 2 (device flow): optionally co-batch the cycle's LK
-                # flows into ONE vmapped dispatch across streams. Measured
-                # NEGATIVE on v5e (docs/perf/flow_batch_r4.json: vmapped LK
-                # is 0.70-0.85x sequential per-flow at every batch size —
-                # the batch's 3-D gathers lose to K 2-D ones), so
-                # per-stream dispatches are the default; flow_batch>1 opts
-                # in for transports where dispatch latency dominates
-                # device time.
-                flow_hits: Dict[int, tuple] = {}
-                if device_flow and self.temporal_flow_batch > 1:
-                    live = [k for k, e in enumerate(loaded)
-                            if e["info"]["prev"] is not None
-                            and e["info"]["prev_gray"] is not None]
-                    if len(live) > 1:
-                        h_, w_ = shape_ref[0][:2]
-                        auxs = [loaded[k]["aux"] for k in live]
-                        if all(a is None for a in auxs):
-                            fmasks = None
-                        else:
-                            ones = _packed_ones_mask(h_, w_) \
-                                if self.mask_packed \
-                                else np.ones((h_, w_), np.uint8)
-                            fmasks = jnp.asarray(np.stack(
-                                [ones if a is None else a for a in auxs]))
-                        flows, grays = _temporal_flow_pairs(
-                            jnp.stack([loaded[k]["fdev"] for k in live]),
-                            jnp.stack([loaded[k]["info"]["prev_gray"]
-                                       for k in live]),
-                            fmasks, self.temporal_flow_scale)
-                        for t, k in enumerate(live):
-                            flow_hits[k] = (flows[t], grays[t])
-                # pass 3: per-stream temporal prologue (warp + guide concat)
-                batch = []
-                for k, e in enumerate(loaded):
-                    info, fdev, aux, fname = \
-                        e["info"], e["fdev"], e["aux"], e["fname"]
-                    try:
-                        if device_flow:
-                            if info["prev"] is not None and \
-                                    info["prev_gray"] is not None:
-                                hit = flow_hits.get(k)
-                                if hit is not None:
-                                    flow_in, gray = hit
-                                else:
-                                    fmask = None if aux is None else \
-                                        jnp.asarray(aux)
-                                    flow_in, gray = _temporal_device_flow(
-                                        fdev, info["prev_gray"], fmask,
-                                        self.temporal_flow_scale)
-                                prev_in = info["prev"]
-                            else:
-                                gray = _device_gray(fdev)
-                                prev_in, flow_in = None, None  # bootstrap
-                        else:
-                            gray = None
-                            if info["prev"] is None or info["fdir"] is None:
-                                prev_in, flow_in = None, None
-                            elif aux is not None:
-                                prev_in, flow_in = info["prev"], \
-                                    jnp.asarray(aux)
-                            else:
-                                self.logger.warning(
-                                    f"No flow for {info['name']}/{fname}; "
-                                    f"using unwarped previous output")
-                                prev_in, flow_in = info["prev"], None
-                        full = _temporal_prep(fdev, prev_in, flow_in,
-                                              self.temporal_depth)
-                        batch.append((info, full, e["eff"], e["boxes"],
-                                      e["rgb_u8"], e["mbox"], gray, fname))
-                    except Exception as exc:
-                        self.logger.error(
-                            f"Failed to process {info['name']} frame: {exc}")
-                        info["prev"] = info["prev_gray"] = None  # restart
+                loaded = self._ms_resolve_loads(subs, shape_ref)
+                flow_hits = self._ms_cycle_flow_hits(loaded, shape_ref)
+                batch = self._ms_cycle_prologue(loaded, flow_hits)
                 if batch:
-                    if len(batch) == 1:
-                        _i, full, eff, boxes, *_ = batch[0]
-                        u8b, outf, _ = self._stylize_device(full, eff,
-                                                            boxes=boxes)
-                        u8s, outs = [u8b], [outf]
-                    else:
-                        u8b, outb = self._stylize_group(
-                            [b[1] for b in batch], [b[2] for b in batch],
-                            [b[3] for b in batch])
-                        u8s = [u8b[k] for k in range(len(batch))]
-                        outs = [outb[k] for k in range(len(batch))]
-                    for k, (info, full, eff, boxes, rgb_u8, mbox, gray,
-                            fname) in enumerate(batch):
-                        info["prev"] = outs[k]
-                        if device_flow:
-                            info["prev_gray"] = gray
-                        u8 = u8s[k]
-                        crop = None
-                        if self.crop_readback and mbox is not None:
-                            bbox = compute_crop_bbox([mbox],
-                                                     *shape_ref[0][:2])
-                            if bbox is not None:
-                                y0, y1, x0, x1 = bbox
-                                u8 = u8[y0:y1, x0:x1]
-                                crop = (bbox, rgb_u8)
-                        try:
-                            u8.copy_to_host_async()
-                        except Exception:
-                            pass
-                        pending.append((
-                            fetch_pool.submit(np.asarray, u8),
-                            output_dir / info["name"] / fname, crop, boxes))
-                        bar.update(1)
-                    # keep enough fetches in flight to multiplex the wire,
-                    # drain the rest so memory stays bounded
-                    while len(pending) > self.readback_streams + len(infos):
-                        drain_one()
+                    self._ms_dispatch_cycle(
+                        batch, pending, fetch_pool, output_dir, writer,
+                        shape_ref, bar,
+                        max_pending=self.readback_streams + len(infos))
                 subs = next_subs
         finally:
-            # graceful shutdown: pending fetches drain (drain_one logs a
-            # failed fetch itself) and the bar closes even when an
+            # graceful shutdown: pending fetches drain (_ms_drain_one logs
+            # a failed fetch itself) and the bar closes even when an
             # interrupt lands mid-cycle — chain carries stay on the info
             # dicts, so a watch caller resumes cleanly
             while pending:
-                drain_one()
+                self._ms_drain_one(pending, writer)
             bar.close()
 
     def _process_multistream(self, streams, input_dir: Path,
