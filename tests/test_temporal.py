@@ -409,6 +409,91 @@ def test_temporal_device_flow_chain_persists_across_calls(temporal_scene,
         np.testing.assert_array_equal(a, b, err_msg=f"{i:03d}.png")
 
 
+def test_temporal_fullframe_mode(temporal_scene, tmp_path):
+    """inference.mode=fullframe composes with the temporal chain: the
+    serving loop's outputs are byte-identical to driving the engine's
+    ``_chain_step`` directly (prep -> fullframe program -> carry), and the
+    chain's guide channels actually feed the generator (frame 1 with the
+    warp carry differs from a chain-restart dispatch of the same frame).
+
+    This is the >=30 fps serving combination for full-mask streams: the
+    fullframe generator costs ~21.5 ms/frame at 512x910 vs ~35.7 ms for
+    the 170-tile bucket-256 tiled program (docs/perf/chain_parts_r5.json),
+    skipping the gather/blend and the 86 padded tile slots."""
+    from patch_toon_tpu.config import compose
+    from patch_toon_tpu.infer import StyleTransferInference
+    from patch_toon_tpu.train import StyleTransferModel
+    from patch_toon_tpu.train.checkpoints import CheckpointManager
+
+    base = temporal_scene
+    g_args = dict(input_channels=6, use_bias=True, tanh=True,
+                  append_smoothers=True, resnet_blocks=1,
+                  filters=[4, 8, 8, 8, 8, 4], norm_layer="instance_norm")
+    model = StyleTransferModel(
+        generator_config={"type": "GeneratorJ", "args": dict(g_args)},
+        discriminator_config=None,
+        training_config=dict(batch_size=4, precision=32),
+        optimizer_config=dict(
+            generator=dict(lr=4e-4, betas=[0.9, 0.999], weight_decay=1e-5)),
+        data_config=dict(patch_size=16, additional_channels={}),
+        perception_loss_config=None,
+    )
+    state = model.init_state(jax.random.PRNGKey(0), patch_size=16)
+    CheckpointManager(
+        tmp_path / "ckpt",
+        meta={"input_channels": 6, "generator_args": g_args,
+              "patch_size": 16},
+    ).save(state, epoch=0, score=1.0)
+    root = pathlib.Path(__file__).resolve().parents[1]
+
+    def make_engine(out_dir):
+        return StyleTransferInference(compose(
+            root / "config", "inference", overrides=[
+                f"paths.checkpoint={tmp_path}/ckpt/last",
+                f"paths.input_dir={base}/input",
+                f"paths.mask_dir={base}/mask",
+                f"paths.output_dir={out_dir}",
+                "paths.additional_channels={}",
+                "data.patch_size=16", "inference.use_gpu=false",
+                "inference.mode=fullframe",
+                "+inference.temporal.enabled=true",
+                "+inference.temporal.flow_source=device",
+                "+inference.temporal.depth=3",
+            ]))
+
+    make_engine(tmp_path / "loop").process_directory()
+    files = sorted((base / "input").glob("*.png"))
+    assert len(files) == 5
+
+    # manual drive: the same _chain_step composition the loop runs,
+    # loading through the engine's own stagers
+    eng = make_engine(tmp_path / "manual")
+    carry, boxes = (None, None), None
+    restart_u8 = None
+    for i, p in enumerate(files):
+        frame, mask, _, _, fboxes, _ = eng._load_for_dispatch(
+            p, base / "mask", False)
+        arr = np.asarray(Image.open(base / "mask" / f"{p.stem}.jpg")
+                         .convert("L"))
+        aux = np.packbits(arr > 127) if eng.mask_packed \
+            else (arr > 127).astype(np.uint8)
+        if i == 1:
+            # chain-restart dispatch of the same frame (fresh carry):
+            # different guide channels => different output
+            r_u8, _, _ = eng._chain_step(frame, mask, fboxes,
+                                         (None, None), aux=aux)
+            restart_u8 = np.asarray(r_u8)
+        u8, boxes, carry = eng._chain_step(frame, mask, fboxes, carry,
+                                           aux=aux, label=p.name)
+        assert boxes == []  # the fullframe program path, not tiled
+        got = np.asarray(u8)
+        want = np.asarray(Image.open(tmp_path / "loop" / p.name))
+        np.testing.assert_array_equal(got, want, err_msg=p.name)
+        if i == 1:
+            assert not np.array_equal(got, restart_u8), \
+                "warp carry did not reach the generator input"
+
+
 def test_temporal_crop_readback_byte_identical(tmp_path):
     """Temporal chain with a PARTIAL mask: crop_readback=auto fetches only
     the mask-support bbox and reconstructs the rest from the input bytes —
