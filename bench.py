@@ -763,6 +763,31 @@ def bench_temporal(frames: int = 16) -> dict:
         [n / max(chain_compute_fs2(2 * n) - chain_compute_fs2(n), 1e-9)
          for _ in range(3)]))
 
+    # temporal x fullframe: the chain driving the whole-frame generator
+    # program instead of gather/tiles/blend — the fast combination for
+    # full-coverage masks (tests/test_temporal.py::test_temporal_fullframe
+    # _mode proves byte-parity with the serving loop). ~21.5 ms/frame
+    # generator vs ~35.7 for the 170-tile bucket-256 program
+    # (docs/perf/chain_parts_r5.json).
+    def chain_compute_eng(e, n: int) -> float:
+        carry = (None, None)
+        t0 = time.perf_counter()
+        u8 = None
+        for i in range(n):
+            u8, _, carry = e._chain_step(fdevs[i % 3], None, boxes, carry)
+        np.asarray(u8[0, 0, 0])
+        return time.perf_counter() - t0
+
+    ff_compute = {}
+    for fs in (1, 2):
+        e_ff = make_engine(["inference.mode=fullframe",
+                            f"+inference.temporal.flow_scale={fs}"])
+        chain_compute_eng(e_ff, 4)  # warm
+        ff_compute[fs] = float(np.median(
+            [n / max(chain_compute_eng(e_ff, 2 * n)
+                     - chain_compute_eng(e_ff, n), 1e-9)
+             for _ in range(3)]))
+
     # Multi-stream serving (subdirectory-per-video): 3 persistent chains,
     # flows AND generator co-batched per cycle — the engine's own
     # _ms_run_cycles with only the disk loader stubbed.
@@ -792,7 +817,8 @@ def bench_temporal(frames: int = 16) -> dict:
           f"{stream_fps:.1f} fps ({fs2_fps:.1f} at flow_scale=2; adjacent "
           f"bidir cap {t_cap:.1f}, ratio {stream_fps / t_cap:.2f}), "
           f"compute-only {compute_fps:.1f} fps ({fs2_compute:.1f} at "
-          f"flow_scale=2, flow_batch={K}); "
+          f"flow_scale=2, flow_batch={K}); fullframe compute-only "
+          f"{ff_compute[1]:.1f} / {ff_compute[2]:.1f} fps (fs1/fs2); "
           f"multi-stream x{S} aggregate {ms_fps:.1f} fps", file=sys.stderr)
     return {"temporal_device_streaming": round(stream_fps, 3),
             "temporal_device_streaming_fs2": round(fs2_fps, 3),
@@ -800,6 +826,8 @@ def bench_temporal(frames: int = 16) -> dict:
             "temporal_vs_cap": round(stream_fps / t_cap, 3),
             "temporal_device_compute_only": round(compute_fps, 3),
             "temporal_device_compute_only_fs2": round(fs2_compute, 3),
+            "temporal_fullframe_compute_only": round(ff_compute[1], 3),
+            "temporal_fullframe_compute_only_fs2": round(ff_compute[2], 3),
             "temporal_multistream3_aggregate_fps": round(ms_fps, 3)}
 
 

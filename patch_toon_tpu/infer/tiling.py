@@ -69,18 +69,24 @@ def gaussian_tile_weight(box_h: int, box_w: int, patch_size: int) -> np.ndarray:
 def bucket_size(n: int, minimum: int = 32) -> int:
     """Round a tile count up to a compile-bucket size.
 
-    Policy (v5e, measured — docs/perf/bucket_sweep_r3.json): the generator's
-    per-tile cost is ~flat (103-123 us/tile) at every batch that is a
-    MULTIPLE OF 128 (128/256/384/512/640/768/1024 all measured), and ~2x
-    pathological at every other batch tried (160-448 non-multiples: 190-257
-    us/tile). So: powers of two up to 128, then the next multiple of 128 —
-    strictly less padding than pow2 for n > 256 (e.g. 300 -> 384 not 512,
-    520 -> 640 not 1024) while staying on the measured-good set. Outputs
-    are bit-identical across buckets (padding rows carry zero blend weight;
-    instance norm is per-sample).
+    Policy (v5e, measured — docs/perf/bucket_sweep_r3.json + r5
+    small_batch_r5.json): the generator's per-tile cost is ~flat
+    (103-123 us/tile) at every batch that is a MULTIPLE OF 128
+    (128/256/384/512/640/768/1024 all measured), and ~2x pathological at
+    every other batch tried (160-448 non-multiples: 190-257 us/tile).
+    Round 5 measured the mid-range buckets on the bare bf16 generator:
+    B=64 is ABSOLUTELY slower than a full B=128 batch (28.9 vs 14.3 ms,
+    452 us/tile — same under stock XLA options, so a compiler tiling
+    pathology of the bf16 B=64 program, not scoped-VMEM) and B=96 also
+    loses to 128 (17.2 ms). So: powers of two up to 32, then the next
+    multiple of 128 — a 33..128-tile batch pads straight to 128 (strictly
+    faster than the old 64 bucket in every precision mode), and n > 256
+    keeps strictly less padding than pow2 (300 -> 384, 520 -> 640).
+    Outputs are bit-identical across buckets (padding rows carry zero
+    blend weight; instance norm is per-sample).
     """
     b = minimum
-    while b < n and b < 128:
+    while b < n and b < 32:
         b *= 2
     if n <= b:
         return b
