@@ -153,6 +153,26 @@ def fit(
     # training.learning_rate)
     lr = float(model.optimizer_config["generator"].get("lr", 0.0) or 0.0)
 
+    # Async observability: the per-step scalar fetch is a full host<->device
+    # round trip, and through a remote transport (the axon tunnel) that RTT
+    # is ~0.7 s — synced every log_every steps it HALVED the real loop's
+    # throughput (r5 soak: 8.8 steps/s vs the step's own ~23/s). All TB
+    # writes ride ONE worker thread (ordered, single-writer) fed device
+    # futures; the main loop never blocks on logging. Bounded queue so a
+    # congested transport back-pressures instead of hoarding device buffers.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    log_pool = ThreadPoolExecutor(max_workers=1)
+    log_pending: deque = deque()
+
+    def _submit_log(work) -> None:
+        log_pending.append(log_pool.submit(work))
+        while len(log_pending) > 8:
+            log_pending.popleft().result()
+        while log_pending and log_pending[0].done():
+            log_pending.popleft().result()  # surface worker exceptions
+
     stop = False
     for epoch in range(start_epoch, max_epochs):
         steps_this_epoch = steps_per_epoch
@@ -179,28 +199,46 @@ def fit(
             epoch_loss_min = jnp.minimum(epoch_loss_min,
                                          metrics["g_total_loss"])
             if global_step % log_every == 0:
-                # single fused transfer: per-scalar fetches each pay a full
-                # host<->device round trip (expensive over remote transports)
+                # single fused transfer (per-scalar fetches each pay a full
+                # round trip), started async and fetched on the log worker —
+                # the dispatch loop keeps queueing steps meanwhile
                 names = list(metrics)
-                vals = np.asarray(jnp.stack([metrics[k] for k in names]))
-                host = dict(zip(names, vals.astype(float).tolist()))
-                host["lr-Adam"] = lr
-                logger.log_scalars(host, global_step)
+                stacked = jnp.stack([metrics[k] for k in names])
+                try:
+                    stacked.copy_to_host_async()
+                except Exception:
+                    pass
+                step_now = global_step
+
+                def _log_scalars(stacked=stacked, names=names,
+                                 step=step_now):
+                    vals = np.asarray(stacked)
+                    host = dict(zip(names, vals.astype(float).tolist()))
+                    host["lr-Adam"] = lr
+                    logger.log_scalars(host, step)
+
+                _submit_log(_log_scalars)
 
             if global_step % image_log_freq == 0:
                 log_batch = batch if not fused else log_sampler(sk)
                 x = dataset.model_input(log_batch)
                 generated = eval_forward(
                     state.g_params, state.g_batch_stats, x)
-                grid = build_comparison_grid(
-                    np.asarray(log_batch["pre"]),
-                    np.asarray(generated, np.float32),
-                    np.asarray(log_batch["post"]),
-                    np.asarray(log_batch["channels"])
-                    if "channels" in log_batch else None,
-                    channel_depths,
-                )
-                logger.log_image("training/comparison_grid", grid, global_step)
+                step_now = global_step
+
+                def _log_image(log_batch=log_batch, generated=generated,
+                               step=step_now):
+                    grid = build_comparison_grid(
+                        np.asarray(log_batch["pre"]),
+                        np.asarray(generated, np.float32),
+                        np.asarray(log_batch["post"]),
+                        np.asarray(log_batch["channels"])
+                        if "channels" in log_batch else None,
+                        channel_depths,
+                    )
+                    logger.log_image("training/comparison_grid", grid, step)
+
+                _submit_log(_log_image)
 
         if profile_dir and epoch == 0:
             jax.block_until_ready(metrics)
@@ -220,8 +258,10 @@ def fit(
         if progress and primary:
             print(f"epoch {epoch}: g_total_loss={mean_loss:.4f} "
                   f"({dt:.1f}s, {pps:,.0f} patches/s)")
-        logger.log_scalars({"epoch_g_total_loss": mean_loss,
-                            "patches_per_sec": pps}, global_step)
+        # same single-writer worker as the step scalars (ordered TB writes)
+        _submit_log(lambda mean_loss=mean_loss, pps=pps, step=global_step:
+                    logger.log_scalars({"epoch_g_total_loss": mean_loss,
+                                        "patches_per_sec": pps}, step))
 
         if multihost:
             # fully-replicated state is process-local readable: fetch to host
@@ -248,5 +288,8 @@ def fit(
         if stop:
             break
 
+    log_pool.shutdown(wait=True)  # drain queued TB writes before close
+    for f in log_pending:
+        f.result()
     logger.close()
     return state
